@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU mesh BEFORE jax import.
+
+This is the TPU answer to "test multi-replica numerics without a cluster"
+(SURVEY.md §4): cross-replica BN psum, data-parallel gradient psum, and the
+full shard_map train step all run on 8 virtual CPU devices.
+"""
+import os
+
+# The harness may pin JAX_PLATFORMS to a TPU tunnel; tests always run on a
+# virtual 8-device CPU backend (the env var alone is not honored when a
+# platform plugin is preloaded, so use the config API as well).
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
