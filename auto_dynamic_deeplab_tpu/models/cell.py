@@ -1,0 +1,148 @@
+"""Decoded (fixed-genotype) cell — TPU-native equivalent of modeling/ADD.py
+Cell (:14-116), baseline_model.py Cell_baseline and autodeeplab.py
+Cell_AutoDeepLab (all share the same block DAG).
+
+A cell is a B-block DAG over states [s0, s1, block_0, ..., block_{B-1}];
+block i consumes edges numbered offset..offset+len(states)-1 where
+offset = sum_{j<i}(2+j). The genotype selects 2 edges per block and one
+primitive per edge; the cell output is the channel-concat of all B block
+outputs.
+
+Reference quirk preserved for checkpoint-level parity: ADD.py:59-62 builds
+the op list in genotype *row order* but consumes it while iterating edges in
+*ascending* order (ADD.py:97-110). When genotype rows are not sorted by edge
+(true for the shipped autodeeplab genotype, rows [19,7],[18,5]), the op of
+row k lands on the k-th smallest selected edge. We reproduce exactly that
+mapping: ``op_for(sorted_edges[k]) = rows[k].op``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nas.genotypes import PRIMITIVES
+from ..ops.primitives import OPS, FactorizedReduce, ReLUConvBN
+from ..ops.resize import resize_bilinear, scale_dimension
+
+GenotypeRows = Tuple[Tuple[int, int], ...]
+
+
+def as_genotype_rows(cell_arch) -> GenotypeRows:
+    """Normalize a (k, 2) array/sequence to a hashable tuple of int pairs."""
+    return tuple((int(e), int(o)) for e, o in cell_arch)
+
+
+def edge_op_assignment(rows: GenotypeRows) -> Tuple[Tuple[int, int], ...]:
+    """(edge, op) pairs with ops assigned in the reference's row-order-vs-
+    sorted-edge-order convention (see module docstring), sorted by edge."""
+    edges = sorted(e for e, _ in rows)
+    ops = [o for _, o in rows]
+    return tuple(zip(edges, ops))
+
+
+class FixedCell(nn.Module):
+    """One decoded cell.
+
+    Attributes:
+      genotype: ((edge, op), ...) rows as decoded (row order preserved).
+      C_out: per-block channel count (F * fm[level]).
+      downup_sample: +1 = upsample 2x before preprocess, -1 = FactorizedReduce
+        preprocess, 0 = 1x1 preprocess.
+      dense_in: s0 is a *list* of earlier dense taps (each 1x1-projected,
+        concatenated, fused by one more 1x1 — ADD.py:47-52,:87-93).
+      dense_out: additionally emit dense_process(concat) (ADD.py:56-57,:114).
+    """
+
+    genotype: GenotypeRows
+    B: int
+    C_out: int
+    downup_sample: int
+    dense_in: bool = False
+    dense_out: bool = False
+    affine: bool = True
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        kw = dict(affine=self.affine, axis_name=self.axis_name, dtype=self.dtype)
+        if self.downup_sample == -1:
+            self.preprocess = FactorizedReduce(features=self.C_out, **kw)
+        else:
+            self.preprocess = ReLUConvBN(features=self.C_out, kernel_size=1, **kw)
+
+        if self.dense_in:
+            # One projection per dense tap; count is static per call site, so
+            # build lazily-sized list at first call via nn.compact-style is not
+            # possible in setup — instead the caller passes the tap count.
+            self.pre_preprocess = [
+                ReLUConvBN(features=self.C_out, kernel_size=1, **kw, name=f"pre_{i}")
+                for i in range(self.num_dense_in)
+            ]
+            self.pre_preprocess_1x1 = ReLUConvBN(
+                features=self.C_out, kernel_size=1, **kw
+            )
+        else:
+            self.pre_preprocess = ReLUConvBN(features=self.C_out, kernel_size=1, **kw)
+
+        if self.dense_out:
+            self.dense_process = ReLUConvBN(features=self.C_out, kernel_size=1, **kw)
+
+        self.assignment = edge_op_assignment(self.genotype)
+        self.ops = [
+            OPS[PRIMITIVES[op]](self.C_out, 1, **kw)
+            for _, op in self.assignment
+        ]
+
+    # Number of dense inputs; 0 when dense_in is False. Declared as a module
+    # attribute so the param structure is fixed at construction.
+    num_dense_in: int = 0
+
+    def __call__(
+        self,
+        s0: Union[jnp.ndarray, Sequence[jnp.ndarray]],
+        s1: jnp.ndarray,
+        train: bool,
+    ):
+        prev_input = s1
+        if self.downup_sample == 1:
+            target = (
+                scale_dimension(s1.shape[1], 2),
+                scale_dimension(s1.shape[2], 2),
+            )
+            s1 = resize_bilinear(s1, target, align_corners=False)
+        s1 = self.preprocess(s1, train)
+        hw = s1.shape[1:3]
+
+        if self.dense_in:
+            assert len(s0) == self.num_dense_in, (len(s0), self.num_dense_in)
+            projected = []
+            for tap, proj in zip(s0, self.pre_preprocess):
+                if tap.shape[1:3] != hw:
+                    tap = resize_bilinear(tap, hw, align_corners=False)
+                projected.append(proj(tap, train))
+            s0 = self.pre_preprocess_1x1(
+                jnp.concatenate(projected, axis=-1), train
+            )
+        else:
+            if s0.shape[1] != s1.shape[1]:
+                s0 = resize_bilinear(s0, hw, align_corners=False)
+            s0 = self.pre_preprocess(s0, train)
+
+        states = [s0, s1]
+        selected = dict(self.assignment)
+        op_iter = iter(self.ops)
+        offset = 0
+        for _ in range(self.B):
+            block_inputs = []
+            for j, h in enumerate(states):
+                if (offset + j) in selected:
+                    block_inputs.append(next(op_iter)(h, train))
+            states.append(sum(block_inputs))
+            offset += len(states) - 1
+
+        concat = jnp.concatenate(states[-self.B :], axis=-1)
+        if self.dense_out:
+            return prev_input, concat, self.dense_process(concat, train)
+        return prev_input, concat
