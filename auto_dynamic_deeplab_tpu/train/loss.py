@@ -1,0 +1,63 @@
+"""Segmentation losses — parity with torch.nn.CrossEntropyLoss(weight,
+ignore_index=255) as constructed by the drivers (train.py:70, utils/loss.py).
+
+Semantics matched exactly:
+  * per-pixel NLL of log_softmax(logits) at the target class,
+  * pixels with target == ignore_index contribute 0,
+  * reduction 'mean' divides by the summed *class weights* of the
+    non-ignored pixels (not the pixel count) when weights are given.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """logits (N, H, W, C) float; target (N, H, W) int → scalar loss."""
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = target.astype(jnp.int32)
+    valid = (t >= 0) & (t < num_classes) & (t != ignore_index)
+    t_safe = jnp.where(valid, t, 0)
+    nll = -jnp.take_along_axis(logp, t_safe[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)[t_safe]
+    else:
+        w = jnp.ones_like(nll)
+    w = jnp.where(valid, w, 0.0)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def multi_exit_cross_entropy(
+    logits_list: Sequence[jnp.ndarray],
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Joint loss: mean of per-exit CE (train.py:229-233)."""
+    losses = [cross_entropy(l, target, weight, ignore_index) for l in logits_list]
+    return sum(losses) / len(losses)
+
+
+class SegmentationLosses:
+    """API-parity wrapper (utils/loss.py:4-25)."""
+
+    def __init__(self, weight=None, ignore_index: int = 255):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.ignore_index = ignore_index
+
+    def build_loss(self, mode: str = "ce"):
+        if mode != "ce":
+            raise NotImplementedError(mode)
+        return self
+
+    def __call__(self, logits, target):
+        return cross_entropy(logits, target, self.weight, self.ignore_index)
