@@ -60,7 +60,9 @@ class BatchNorm(nn.Module):
             for a in reduce_axes:
                 n_local *= x.shape[a]
             n = float(n_local)
-            if self.axis_name is not None:
+            # Cross-replica reduction; skipped during init, which runs outside
+            # shard_map (param shapes don't depend on statistics).
+            if self.axis_name is not None and not self.is_initializing():
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
                 n = n * jax.lax.psum(1, self.axis_name)

@@ -1,0 +1,98 @@
+"""Train-step invariants:
+  * 8-way data-parallel shard_map step == single-device step on the same
+    global batch (grad pmean + BN psum make them numerically equivalent),
+  * the SGD(+nesterov, +weight-decay) chain matches torch.optim.SGD.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+
+from auto_dynamic_deeplab_tpu.models import ADD
+from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
+from auto_dynamic_deeplab_tpu.parallel import make_mesh
+from auto_dynamic_deeplab_tpu.train import (
+    create_train_state,
+    lr_schedule,
+    make_optimizer,
+    make_single_device_train_step,
+    make_train_step,
+)
+
+
+# short 6-layer path keeps CPU compile time sane; still exercises dense
+# taps, an early exit, FactorizedReduce preprocess, and the shared head.
+_PATH, _C_INDEX = [1, 2, 2, 2, 3, 2], [1]
+
+
+def _model(axis_name):
+    return ADD(
+        _PATH, _C_INDEX, AUTODEEPLAB_GENOTYPE, 19,
+        F=2, B=5, low_level_layer=0, axis_name=axis_name,
+    )
+
+
+def test_sharded_step_equals_single_device(rng):
+    """One 8-way data-parallel step == one global-batch step (grad pmean +
+    BN psum). Gradients agree to ~2e-4 relative (fp32 reduction-order
+    noise through 6 BN'd cells); updates are lr-scaled, hence the atol."""
+    sched = lr_schedule("poly", 0.05, 10, 4)
+    tx = make_optimizer(sched, weight_decay=4e-5)
+
+    x = rng.randn(8, 17, 17, 3).astype(np.float32)
+    y = rng.randint(0, 19, size=(8, 17, 17)).astype(np.int32)
+    batch = {"image": jnp.asarray(x), "label": jnp.asarray(y)}
+
+    single = _model(None)
+    state0 = create_train_state(single, jax.random.PRNGKey(0), batch["image"][:1], tx)
+
+    step_1d = make_single_device_train_step(single, tx)
+    s1, m1 = step_1d(state0, batch)
+
+    sharded = _model("data")
+    mesh = make_mesh()
+    state0b = create_train_state(single, jax.random.PRNGKey(0), batch["image"][:1], tx)
+    step_8d = make_train_step(sharded, tx, mesh)
+    s8, m8 = step_8d(state0b, batch)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=2e-4)
+
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4)
+
+    stats1 = jax.tree_util.tree_leaves(s1.batch_stats)
+    stats8 = jax.tree_util.tree_leaves(s8.batch_stats)
+    for a, b in zip(stats1, stats8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4)
+
+
+def test_sgd_chain_matches_torch():
+    w0 = np.array([1.5, -2.0, 0.5], np.float32)
+    lr, momentum, wd = 0.05, 0.9, 4e-5
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=lr, momentum=momentum, weight_decay=wd, nesterov=True)
+
+    tx = make_optimizer(lambda step: lr, momentum=momentum, weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+
+    for i in range(5):
+        # loss = 0.5 * ||w||^2 + sum(w * i) → grad = w + i
+        topt.zero_grad()
+        tloss = 0.5 * (tw ** 2).sum() + (tw * i).sum()
+        tloss.backward()
+        topt.step()
+
+        grads = {"w": params["w"] + i}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
+        )
