@@ -111,9 +111,28 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
-            # drain so the producer can exit
+            # Drain until the producer exits: it may be blocked in q.put with
+            # a full queue (e.g. the iterator was abandoned after one batch),
+            # so keep consuming until the thread is dead — otherwise daemon
+            # threads race interpreter shutdown ("cannot schedule new futures
+            # after shutdown").
             while t.is_alive():
                 try:
-                    q.get_nowait()
+                    q.get(timeout=0.05)
                 except queue.Empty:
-                    break
+                    pass
+            t.join(timeout=5)
+
+
+def peek_batch(loader):
+    """First batch of a loader with deterministic producer cleanup.
+
+    ``next(iter(loader))`` abandons the generator; its prefetch thread then
+    races interpreter shutdown. Closing the generator runs the finally block
+    (stop + drain) immediately.
+    """
+    it = iter(loader)
+    try:
+        return next(it)
+    finally:
+        it.close()

@@ -11,3 +11,17 @@ __all__ = [
     "as_genotype_rows",
     "edge_op_assignment",
 ]
+
+from .path_supernet import ModelBaselinePathSearch, ModelNetSearch, ModelSearch
+from .supernet import TrellisSupernet, normalize_betas
+from .supernet_cell import MixedOp, TrellisCell
+
+__all__ += [
+    "MixedOp",
+    "ModelBaselinePathSearch",
+    "ModelNetSearch",
+    "ModelSearch",
+    "TrellisCell",
+    "TrellisSupernet",
+    "normalize_betas",
+]

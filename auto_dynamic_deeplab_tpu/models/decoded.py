@@ -147,13 +147,14 @@ class DecodedNet(nn.Module):
 
     def stem_state(self, x: jnp.ndarray, train: bool = False) -> dict:
         s0, s1 = self.stems(x, train)
+        # NOTE: no static metadata (e.g. input size) lives in the state — it
+        # crosses jit boundaries between segment programs as a pure pytree.
         return {
             "prev_prev": s0,
             "prev": s1,
             "x": None,
             "dense": (),
             "low_level": None,
-            "input_hw": x.shape[1:3],
         }
 
     def run_cells(self, state: dict, start: int, end: int, train: bool = False) -> dict:
@@ -199,10 +200,10 @@ class DecodedNet(nn.Module):
             return state["x"]
         return state["prev"]
 
-    def exit_logits(self, state: dict, i: int, train: bool = False) -> jnp.ndarray:
-        """Shared-head classification at exit layer i (ADD.py:316-324)."""
+    def exit_logits(self, state: dict, i: int, size, train: bool = False) -> jnp.ndarray:
+        """Shared-head classification at exit layer i (ADD.py:316-324).
+        ``size`` is the static input (H, W) the logits are upsampled to."""
         arch = self.network_arch
-        size = state["input_hw"]
         scale = 2.0 ** -(arch[-1] + 2)
         aspp_hw = (scale_dimension(size[0], scale), scale_dimension(size[1], scale))
 
@@ -221,9 +222,10 @@ class DecodedNet(nn.Module):
         state = self.stem_state(x, train)
         out = []
         start = 0
+        size = x.shape[1:3]
         for i in self.exit_layers:
             state = self.run_cells(state, start, i, train)
-            out.append(self.exit_logits(state, i, train))
+            out.append(self.exit_logits(state, i, size, train))
             start = i + 1
         return out
 
@@ -234,7 +236,7 @@ class DecodedNet(nn.Module):
         state = self.stem_state(x, train)
         state = self.run_cells(state, 0, first, train)
         feature = self.exit_feature(state, first)
-        return self.exit_logits(state, first, train), feature
+        return self.exit_logits(state, first, x.shape[1:3], train), feature
 
 
 class EDM(nn.Module):

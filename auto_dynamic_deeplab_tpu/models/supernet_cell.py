@@ -1,0 +1,185 @@
+"""Search-time cells: MixedOp and the three-branch trellis cell.
+
+References: modeling/cell_level_search.py (MixedOp :10-29, Cell :32-155) and
+modeling/model_net_search.py Cell_fixed (:10-132). One op set per cell is
+shared across the down/same/up branch DAGs (cell_level_search.py:144), and
+all BNs inside search cells are affine=False.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nas.genotypes import PRIMITIVES
+from ..ops.norm import BatchNorm
+from ..ops.primitives import (
+    OPS,
+    DoubleFactorizedReduce,
+    FactorizedReduce,
+    ReLUConvBN,
+)
+from ..ops.resize import resize_bilinear, scale_dimension_search
+from .cell import GenotypeRows, edge_op_assignment
+
+
+class MixedOp(nn.Module):
+    """Weighted sum over the 8 primitives (cell_level_search.py:10-29).
+
+    The 'none' primitive contributes exactly zero (reference computes
+    w * Zero(x) = 0), so it is skipped; pool primitives get a trailing
+    affine-free BN as in the reference (:20-21).
+    """
+
+    C: int
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        kw = dict(affine=False, axis_name=self.axis_name, dtype=self.dtype)
+        ops = []
+        pool_bns = {}
+        for i, prim in enumerate(PRIMITIVES):
+            if prim == "none":
+                ops.append(None)
+                continue
+            ops.append(OPS[prim](self.C, 1, **kw))
+            if "pool" in prim:
+                pool_bns[str(i)] = BatchNorm(
+                    affine=False, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"pool_bn_{i}",
+                )
+        self.ops = ops
+        self.pool_bns = pool_bns
+
+    def __call__(self, x: jnp.ndarray, weights: jnp.ndarray, train: bool) -> jnp.ndarray:
+        out = None
+        for i, op in enumerate(self.ops):
+            if op is None:
+                continue
+            y = op(x, train)
+            if str(i) in self.pool_bns:
+                y = self.pool_bns[str(i)](y, train)
+            y = weights[i] * y
+            out = y if out is None else out + y
+        return out
+
+
+class TrellisCell(nn.Module):
+    """One trellis cell with up to three input branches.
+
+    Branch inputs (each optional, static presence): s1_down (resolution above,
+    reduced 2x via FactorizedReduce preprocess), s1_same (1x1 preprocess),
+    s1_up (resolution below, bilinear 2x + 1x1). prev_prev s0 is shared by
+    all branches after ``pre_rate`` preprocessing (1 → 1x1, 0.5 → stride-2
+    FactorizedReduce, 0.25 → stride-4 DoubleFactorizedReduce).
+
+    cell_kind 'mixed' runs the full 8-way MixedOp DAG consuming ``alphas``;
+    'fixed' runs the decoded genotype ops (Cell_fixed).
+    """
+
+    B: int
+    C_out: int
+    has_down: bool
+    has_same: bool
+    has_up: bool
+    pre_rate: float = 1.0
+    cell_kind: str = "mixed"
+    genotype: Optional[GenotypeRows] = None
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        kw = dict(affine=False, axis_name=self.axis_name, dtype=self.dtype)
+        if self.has_down:
+            self.preprocess_down = FactorizedReduce(features=self.C_out, **kw)
+        if self.has_same:
+            self.preprocess_same = ReLUConvBN(features=self.C_out, kernel_size=1, **kw)
+        if self.has_up:
+            self.preprocess_up = ReLUConvBN(features=self.C_out, kernel_size=1, **kw)
+
+        if self.pre_rate >= 1:
+            self.pre_preprocess = ReLUConvBN(features=self.C_out, kernel_size=1, **kw)
+        elif self.pre_rate == 0.5:
+            self.pre_preprocess = FactorizedReduce(features=self.C_out, **kw)
+        elif self.pre_rate == 0.25:
+            self.pre_preprocess = DoubleFactorizedReduce(features=self.C_out, **kw)
+        else:
+            raise ValueError(self.pre_rate)
+
+        if self.cell_kind == "mixed":
+            k = sum(2 + i for i in range(self.B))
+            self.ops = [
+                MixedOp(
+                    C=self.C_out, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"mixed_{e}",
+                )
+                for e in range(k)
+            ]
+            self.assignment = None
+        else:
+            assert self.genotype is not None
+            self.assignment = edge_op_assignment(self.genotype)
+            self.ops = [
+                OPS[PRIMITIVES[op]](self.C_out, 1, **kw) for _, op in self.assignment
+            ]
+
+    def _dag(self, s0, s1, alphas, train):
+        states = [s0, s1]
+        offset = 0
+        selected = dict(self.assignment) if self.assignment is not None else None
+        op_iter = iter(self.ops) if selected is not None else None
+        for i in range(self.B):
+            block_inputs = []
+            for j, h in enumerate(states):
+                e = offset + j
+                if selected is None:
+                    block_inputs.append(self.ops[e](h, alphas[e], train))
+                elif e in selected:
+                    block_inputs.append(next(op_iter)(h, train))
+            states.append(sum(block_inputs))
+            offset += len(states) - 1
+        return jnp.concatenate(states[-self.B :], axis=-1)
+
+    def __call__(
+        self,
+        s0: jnp.ndarray,
+        s1_down: Optional[jnp.ndarray],
+        s1_same: Optional[jnp.ndarray],
+        s1_up: Optional[jnp.ndarray],
+        alphas: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Returns one concat output per present branch, ordered
+        (down, same, up) — matching the reference's tuple unpacking."""
+        branches = []
+        hw = None
+        if self.has_down:
+            assert s1_down is not None
+            b = self.preprocess_down(s1_down, train)
+            hw = b.shape[1:3]
+            branches.append(b)
+        if self.has_same:
+            assert s1_same is not None
+            b = self.preprocess_same(s1_same, train)
+            hw = b.shape[1:3]
+            branches.append(b)
+        if self.has_up:
+            assert s1_up is not None
+            target = (
+                scale_dimension_search(s1_up.shape[1], 2),
+                scale_dimension_search(s1_up.shape[2], 2),
+            )
+            b = resize_bilinear(s1_up, target, align_corners=False)
+            b = self.preprocess_up(b, train)
+            hw = b.shape[1:3]
+            branches.append(b)
+
+        if s0.shape[1] < hw[0] or s0.shape[2] < hw[1]:
+            s0 = resize_bilinear(s0, hw, align_corners=False)
+        s0 = self.pre_preprocess(s0, train)
+
+        # fixed-kind ops are position-dependent; each branch re-consumes the
+        # same shared op modules (param sharing across branches, as reference)
+        return tuple(self._dag(s0, b, alphas, train) for b in branches)

@@ -51,7 +51,11 @@ def conv2d(
 
 def max_pool_3x3(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     """MaxPool2d(3, stride, padding=1)."""
-    neg_inf = jnp.finfo(jnp.float32).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # exact -inf init: JAX only knows the reverse-mode rule for the
+    # (max, -inf) monoid; finfo.min silently loses differentiability
+    neg_inf = (
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    )
     return jax.lax.reduce_window(
         x,
         jnp.array(neg_inf, x.dtype),

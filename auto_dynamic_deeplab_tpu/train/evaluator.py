@@ -1,0 +1,116 @@
+"""Evaluation drivers — equivalent of eval.py Evaluation (:29-230).
+
+Static mode: per-exit mIoU over the val set (eval.py:165-193).
+Dynamic mode: per-image early-exit inference reporting mIoU, mean latency,
+fps, early-exit rate and average confidence (eval.py:195-230) — with the
+early exit genuinely skipping FLOPs (per-segment compiled programs).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.confidence import normalized_shannon_entropy
+from ..utils.meters import AverageMeter
+from ..utils.metrics import Evaluator
+from .dynamic import DynamicInferenceEngine
+
+
+class Evaluation:
+    def __init__(
+        self,
+        model,
+        variables,
+        num_classes: int,
+        edm=None,
+        edm_variables=None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.num_classes = num_classes
+        self.edm = edm
+        self.edm_variables = edm_variables
+
+        @jax.jit
+        def _forward(x):
+            outs = model.apply(variables, x, train=False)
+            preds = [jnp.argmax(o, axis=-1) for o in outs]
+            confs = [normalized_shannon_entropy(o, num_classes) for o in outs]
+            return preds, confs
+
+        self._forward = _forward
+        self.engine = DynamicInferenceEngine(
+            model, variables, edm=edm, edm_variables=edm_variables,
+            num_classes=num_classes,
+        )
+
+    # ------------------------------------------------------------- static
+
+    def validate(self, loader) -> Dict:
+        """Per-exit mIoU + mean entropy confidence (train.py:278-297)."""
+        n_exits = len(self.model.exit_layers)
+        evaluators = [Evaluator(self.num_classes) for _ in range(n_exits)]
+        conf_meters = [AverageMeter() for _ in range(n_exits)]
+        for batch in loader:
+            preds, confs = self._forward(jnp.asarray(batch["image"]))
+            for k in range(n_exits):
+                evaluators[k].add_batch(batch["label"], np.asarray(preds[k]))
+                for c in np.asarray(confs[k]):
+                    conf_meters[k].update(float(c))
+        return {
+            "miou": [e.Mean_Intersection_over_Union() for e in evaluators],
+            "pixel_acc": [e.Pixel_Accuracy() for e in evaluators],
+            "confidence": [m.avg for m in conf_meters],
+        }
+
+    # ------------------------------------------------------------ dynamic
+
+    def dynamic_inference(
+        self,
+        loader,
+        threshold: float = 0.0,
+        confidence: str = "edm",
+        warmup_shape=None,
+    ) -> Dict:
+        evaluator = Evaluator(self.num_classes)
+        latency = AverageMeter()
+        conf_meter = AverageMeter()
+        n_images = 0
+        early_exits = 0
+        exit_histogram = [0] * len(self.model.exit_layers)
+
+        if warmup_shape is not None:
+            self.engine.warmup(warmup_shape, confidence, threshold)
+
+        warmed = warmup_shape is not None
+        for batch in loader:
+            images, labels = batch["image"], batch["label"]
+            for i in range(images.shape[0]):
+                x = images[i : i + 1]
+                if not warmed:
+                    self.engine.warmup(x.shape, confidence, threshold)
+                    warmed = True
+                logits, exit_idx, dt, conf = self.engine.infer(
+                    x, threshold=threshold, confidence=confidence
+                )
+                pred = np.asarray(jnp.argmax(logits, axis=-1))[0]
+                evaluator.add_batch(labels[i], pred)
+                latency.update(dt)
+                if not np.isnan(conf):
+                    conf_meter.update(conf)
+                exit_histogram[exit_idx] += 1
+                early_exits += int(exit_idx < len(self.model.exit_layers) - 1)
+                n_images += 1
+
+        return {
+            "miou": evaluator.Mean_Intersection_over_Union(),
+            "mean_latency_s": latency.avg,
+            "fps": 1.0 / max(latency.avg, 1e-12),
+            "early_exit_rate": early_exits / max(n_images, 1),
+            "avg_confidence": conf_meter.avg,
+            "exit_histogram": exit_histogram,
+            "n_images": n_images,
+        }

@@ -1,0 +1,220 @@
+"""Stage-1 NAS search trainer — equivalent of search.py Trainer (:43-327).
+
+Bilevel alternating optimization on two disjoint train halves:
+  * weight step (loader A): SGD+momentum on 'params' with per-exit CE mean;
+  * arch step (loader B, after ``alpha_epoch``): Adam on the 'arch'
+    collection (alphas/betas) with the same loss (search.py:203-224).
+Both steps run train-mode BN (stats update in either step, as in the
+reference). Each validation decodes the architecture (Viterbi + genotype)
+and persists network_path/betas/genotype .npy (search.py:296-327).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..nas.decode import genotype_decode, viterbi_decode
+from ..utils.metrics import Evaluator
+from ..utils.saver import Saver
+from ..utils.summaries import TrainingSummary
+from .loss import multi_exit_cross_entropy
+from .schedules import lr_schedule
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    epochs: int = 300
+    alpha_epoch: int = 150        # arch updates start here (search.py:203)
+    lr: float = 0.025
+    min_lr: float = 0.003
+    lr_scheduler: str = "cos"
+    momentum: float = 0.9
+    weight_decay: float = 3e-4
+    arch_lr: float = 3e-3
+    arch_weight_decay: float = 1e-3
+    eval_interval: int = 5
+    run_dir: str = "run"
+    dataset: str = "synthetic"
+    checkname: str = "search"
+
+
+class SearchTrainer:
+    def __init__(
+        self,
+        model,
+        loader_a,
+        loader_b,
+        val_loader,
+        config: SearchConfig,
+        class_weight: Optional[np.ndarray] = None,
+        sample_input: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.loader_a = loader_a
+        self.loader_b = loader_b
+        self.val_loader = val_loader
+        self.config = config
+        self.best_pred = 0.0
+        weight = None if class_weight is None else jnp.asarray(class_weight)
+
+        if sample_input is None:
+            from ..data.loader import peek_batch
+
+            sample_input = peek_batch(loader_a)["image"][:1]
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.asarray(sample_input), train=True
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.arch = variables["arch"]
+
+        iters = max(len(loader_a), 1)
+        schedule = lr_schedule(
+            config.lr_scheduler, config.lr, config.epochs, iters, min_lr=config.min_lr
+        )
+        self.w_tx = optax.chain(
+            optax.add_decayed_weights(config.weight_decay),
+            optax.sgd(learning_rate=schedule, momentum=config.momentum),
+        )
+        self.w_opt = self.w_tx.init(self.params)
+        self.a_tx = optax.adamw(
+            config.arch_lr, b1=0.9, b2=0.999, weight_decay=config.arch_weight_decay
+        )
+        self.a_opt = self.a_tx.init(self.arch)
+
+        @jax.jit
+        def weight_step(params, batch_stats, arch, w_opt, batch):
+            def loss_fn(p):
+                outs, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats, "arch": arch},
+                    batch["image"], train=True, mutable=["batch_stats"],
+                )
+                return (
+                    multi_exit_cross_entropy(outs, batch["label"], weight),
+                    mutated["batch_stats"],
+                )
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, w_opt = self.w_tx.update(grads, w_opt, params)
+            return optax.apply_updates(params, updates), new_stats, w_opt, loss
+
+        @jax.jit
+        def arch_step(params, batch_stats, arch, a_opt, batch):
+            def loss_fn(a):
+                outs, mutated = model.apply(
+                    {"params": params, "batch_stats": batch_stats, "arch": a},
+                    batch["image"], train=True, mutable=["batch_stats"],
+                )
+                return (
+                    multi_exit_cross_entropy(outs, batch["label"], weight),
+                    mutated["batch_stats"],
+                )
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(arch)
+            updates, a_opt = self.a_tx.update(grads, a_opt, arch)
+            return optax.apply_updates(arch, updates), new_stats, a_opt, loss
+
+        self._weight_step = weight_step
+        self._arch_step = arch_step
+
+        self.saver = Saver(config.run_dir, config.dataset, config.checkname)
+        self.saver.save_experiment_config(dataclasses.asdict(config))
+        self.summary = TrainingSummary(self.saver.experiment_dir)
+
+    # ---------------------------------------------------------------- train
+
+    def training(self, epoch: int) -> float:
+        self.loader_a.set_epoch(epoch)
+        self.loader_b.set_epoch(epoch)
+        iter_b = iter(self.loader_b)
+        losses = []
+        for batch in self.loader_a:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.params, self.batch_stats, self.w_opt, loss = self._weight_step(
+                self.params, self.batch_stats, self.arch, self.w_opt, batch
+            )
+            losses.append(float(loss))
+
+            if epoch >= self.config.alpha_epoch:
+                try:
+                    batch_b = next(iter_b)
+                except StopIteration:
+                    iter_b = iter(self.loader_b)
+                    batch_b = next(iter_b)
+                batch_b = {k: jnp.asarray(v) for k, v in batch_b.items()}
+                self.arch, self.batch_stats, self.a_opt, _ = self._arch_step(
+                    self.params, self.batch_stats, self.arch, self.a_opt, batch_b
+                )
+
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+        self.summary.add_scalar("search/train_loss", train_loss, epoch)
+        return train_loss
+
+    # ----------------------------------------------------------------- val
+
+    def validation(self, epoch: int) -> dict:
+        n_exits = len(self.model.exit_stations)
+        evaluators = [Evaluator(self.model.num_classes) for _ in range(n_exits)]
+        variables = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "arch": self.arch,
+        }
+
+        @jax.jit
+        def predict(x):
+            outs = self.model.apply(variables, x, train=False)
+            return [jnp.argmax(o, axis=-1) for o in outs]
+
+        for batch in self.val_loader:
+            preds = predict(jnp.asarray(batch["image"]))
+            for k in range(n_exits):
+                evaluators[k].add_batch(batch["label"], np.asarray(preds[k]))
+        mious = [e.Mean_Intersection_over_Union() for e in evaluators]
+        for k, m in enumerate(mious):
+            self.summary.add_scalar(f"search/mIoU_exit_{k}", m, epoch)
+
+        mean_miou = float(np.mean(mious))
+        is_best = mean_miou > self.best_pred
+        if is_best:
+            self.best_pred = mean_miou
+        self.decode_and_save(epoch)
+        self.saver.save_checkpoint(
+            {
+                "params": self.params,
+                "batch_stats": self.batch_stats,
+                "arch": self.arch,
+            },
+            is_best,
+            epoch,
+            self.best_pred,
+        )
+        return {"miou": mious}
+
+    def decode_and_save(self, epoch: int) -> dict:
+        """Viterbi + genotype decode of the current arch (search.py:296-327)."""
+        betas = np.asarray(self.arch["betas"], np.float32)
+        path, space = viterbi_decode(betas)
+        genotype = None
+        if "alphas" in self.arch:
+            genotype = genotype_decode(
+                np.asarray(self.arch["alphas"], np.float32), self.model.B
+            )
+        self.saver.save_architecture(epoch, path, betas=betas, genotype=genotype)
+        return {"path": path, "space": space, "genotype": genotype}
+
+    def fit(self, epochs: Optional[int] = None) -> dict:
+        epochs = epochs or self.config.epochs
+        result = {}
+        for epoch in range(epochs):
+            loss = self.training(epoch)
+            if (epoch + 1) % self.config.eval_interval == 0 or epoch == epochs - 1:
+                result = self.validation(epoch)
+                result["train_loss"] = loss
+        return result

@@ -1,0 +1,156 @@
+"""Stage-2 trainer — equivalent of train.py trainNew (:34-322).
+
+Glues: data loaders → sharded (or single-device) jitted train step →
+per-epoch validation (per-exit mIoU + mean entropy confidence) → checkpoint
+with best-mIoU promotion → scalar summaries.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh
+from ..utils.saver import Saver
+from ..utils.summaries import TrainingSummary
+from .evaluator import Evaluation
+from .schedules import lr_schedule
+from .step import (
+    create_train_state,
+    make_optimizer,
+    make_single_device_train_step,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 100
+    lr: float = 0.05
+    lr_scheduler: str = "poly"
+    min_lr: Optional[float] = None
+    momentum: float = 0.9
+    nesterov: bool = True
+    weight_decay: float = 4e-5
+    eval_interval: int = 10
+    use_balanced_weights: bool = False
+    run_dir: str = "run"
+    dataset: str = "synthetic"
+    checkname: str = "add"
+    data_parallel: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        train_loader,
+        val_loader,
+        config: TrainConfig,
+        class_weight: Optional[np.ndarray] = None,
+        sample_input: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.config = config
+        self.best_pred = 0.0
+
+        iters_per_epoch = max(len(train_loader), 1)
+        schedule = lr_schedule(
+            config.lr_scheduler,
+            config.lr,
+            config.epochs,
+            iters_per_epoch,
+            min_lr=config.min_lr,
+        )
+        self.tx = make_optimizer(
+            schedule,
+            momentum=config.momentum,
+            nesterov=config.nesterov,
+            weight_decay=config.weight_decay,
+        )
+
+        if sample_input is None:
+            from ..data.loader import peek_batch
+
+            first = peek_batch(train_loader)
+            sample_input = first["image"][:1]
+        self.state = create_train_state(
+            model, jax.random.PRNGKey(seed), jnp.asarray(sample_input), self.tx
+        )
+
+        weight = None if class_weight is None else jnp.asarray(class_weight)
+        if config.data_parallel and jax.device_count() > 1:
+            self.mesh = make_mesh()
+            self.train_step = make_train_step(model, self.tx, self.mesh, weight)
+            self.n_shards = self.mesh.shape["data"]
+        else:
+            self.mesh = None
+            self.train_step = make_single_device_train_step(model, self.tx, weight)
+            self.n_shards = 1
+
+        self.saver = Saver(config.run_dir, config.dataset, config.checkname)
+        self.saver.save_experiment_config(dataclasses.asdict(config))
+        self.summary = TrainingSummary(self.saver.experiment_dir)
+
+    def training(self, epoch: int) -> float:
+        self.train_loader.set_epoch(epoch)
+        losses = []
+        for batch in self.train_loader:
+            if batch["image"].shape[0] % self.n_shards:
+                continue  # drop ragged tail under sharding
+            self.state, metrics = self.train_step(
+                self.state,
+                {
+                    "image": jnp.asarray(batch["image"]),
+                    "label": jnp.asarray(batch["label"]),
+                },
+            )
+            losses.append(metrics["loss"])
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        self.summary.add_scalar("train/total_loss_epoch", train_loss, epoch)
+        return train_loss
+
+    def validation(self, epoch: int) -> dict:
+        evaluation = Evaluation(
+            self.model,
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            num_classes=self.model.num_classes,
+        )
+        result = evaluation.validate(self.val_loader)
+        for k, miou in enumerate(result["miou"]):
+            self.summary.add_scalar(f"val/mIoU_exit_{k}", miou, epoch)
+            self.summary.add_scalar(
+                f"val/confidence_exit_{k}", result["confidence"][k], epoch
+            )
+        mean_miou = float(np.mean(result["miou"]))
+        is_best = mean_miou > self.best_pred
+        if is_best:
+            self.best_pred = mean_miou
+        self.saver.save_checkpoint(
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            },
+            is_best,
+            epoch,
+            self.best_pred,
+        )
+        return result
+
+    def fit(self, epochs: Optional[int] = None) -> dict:
+        epochs = epochs or self.config.epochs
+        result = {}
+        for epoch in range(epochs):
+            loss = self.training(epoch)
+            if (epoch + 1) % self.config.eval_interval == 0 or epoch == epochs - 1:
+                result = self.validation(epoch)
+                result["train_loss"] = loss
+        return result

@@ -27,6 +27,12 @@ class Saver:
         self.runs = runs
         self._ckpt = ocp.StandardCheckpointer()
 
+    def _wait(self):
+        # block on orbax's async commit — otherwise background futures race
+        # interpreter shutdown ("cannot schedule new futures ...")
+        if hasattr(self._ckpt, "wait_until_finished"):
+            self._ckpt.wait_until_finished()
+
     # ------------------------------------------------------------- pytrees
 
     def _ckpt_path(self, filename: str) -> str:
@@ -49,6 +55,7 @@ class Saver:
 
             shutil.rmtree(path)
         self._ckpt.save(path, state)
+        self._wait()
         meta = {"epoch": epoch, "best_pred": best_pred}
         with open(os.path.join(self.experiment_dir, filename + ".meta.json"), "w") as f:
             json.dump(meta, f)
@@ -69,6 +76,7 @@ class Saver:
 
                     shutil.rmtree(best)
                 self._ckpt.save(best, state)
+                self._wait()
 
     def load_checkpoint(self, target: Any, filename: str = "checkpoint"):
         """Restore a pytree of the same structure as ``target``."""

@@ -1,0 +1,6 @@
+#!/bin/bash
+# Stage 1: NAS path search on Cityscapes (reference scripts/search_cityscapes.sh parity)
+python -m auto_dynamic_deeplab_tpu.cli.search \
+  --dataset cityscapes --network net_supernet \
+  --batch-size 16 --epochs 300 --alpha-epoch 150 \
+  --F 20 --B 5 --C 2 --lr 0.05 --min-lr 0.003 "$@"

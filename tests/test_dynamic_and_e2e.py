@@ -1,0 +1,151 @@
+"""Dynamic early-exit engine + end-to-end training smoke on synthetic data.
+
+Key invariants:
+  * segmented inference logits == whole-graph forward logits, per exit
+  * forcing early exit returns the first exit's logits and skips later
+    segments (exit_index bookkeeping)
+  * batched bucketed mode agrees with per-image mode
+  * a few train steps reduce loss and validation runs end to end
+  * EDM pipeline: dataset generation + L1 training learns on-trend values
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auto_dynamic_deeplab_tpu.data import DataLoader, SyntheticSegmentation
+from auto_dynamic_deeplab_tpu.models import ADD, EDM
+from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE
+from auto_dynamic_deeplab_tpu.train.dynamic import DynamicInferenceEngine
+from auto_dynamic_deeplab_tpu.train.edm_trainer import make_edm_dataset, train_edm
+from auto_dynamic_deeplab_tpu.train.evaluator import Evaluation
+from auto_dynamic_deeplab_tpu.train.trainer import TrainConfig, Trainer
+
+_PATH, _C_INDEX = [1, 2, 2, 2, 3, 2], [1]
+
+
+def _small_add(axis_name=None):
+    return ADD(
+        _PATH, _C_INDEX, AUTODEEPLAB_GENOTYPE, 19,
+        F=2, B=5, low_level_layer=0, axis_name=axis_name,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = _small_add()
+    x = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def test_segmented_equals_whole_graph(rng, model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(rng.randn(1, 33, 33, 3), jnp.float32)
+    whole = model.apply(variables, x, train=False)
+
+    engine = DynamicInferenceEngine(model, variables)
+    # never exit early (entropy threshold below any possible value)
+    logits, exit_idx, dt, conf = engine.infer(x, threshold=-1.0, confidence="entropy")
+    assert exit_idx == len(model.exit_layers) - 1
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(whole[-1]), rtol=1e-4, atol=1e-4
+    )
+
+    # always exit at the first exit (threshold above max entropy 1.0)
+    logits0, exit_idx0, _, conf0 = engine.infer(x, threshold=2.0, confidence="entropy")
+    assert exit_idx0 == 0
+    np.testing.assert_allclose(
+        np.asarray(logits0), np.asarray(whole[0]), rtol=1e-4, atol=1e-4
+    )
+    assert dt > 0 and 0 <= conf0 <= 1
+
+
+def test_batched_bucketed_matches_per_image(rng, model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.asarray(rng.randn(4, 33, 33, 3), jnp.float32)
+    engine = DynamicInferenceEngine(model, variables)
+
+    # mid threshold → mixed exits across the batch (entropy differs per image)
+    ents = []
+    for i in range(4):
+        _, _, _, c = engine.infer(x[i : i + 1], threshold=-1.0, confidence="entropy")
+    # pick a threshold splitting the batch using first-exit entropies
+    firsts = []
+    for i in range(4):
+        l, k, _, c = engine.infer(x[i : i + 1], threshold=2.0, confidence="entropy")
+        firsts.append(c)
+    thr = float(np.median(firsts))
+
+    per_image = [
+        engine.infer(x[i : i + 1], threshold=thr, confidence="entropy")
+        for i in range(4)
+    ]
+    batch_logits, batch_exit = engine.infer_batch(
+        x, threshold=thr, confidence="entropy"
+    )
+    for i in range(4):
+        assert batch_exit[i] == per_image[i][1], i
+        np.testing.assert_allclose(
+            batch_logits[i], np.asarray(per_image[i][0])[0], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_edm_pipeline(model_and_vars):
+    model, variables = model_and_vars
+    ds = SyntheticSegmentation(length=16, crop_size=(33, 33))
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    features, entropies = make_edm_dataset(model, variables, loader)
+    assert features.shape[0] == 16 and entropies.shape == (16,)
+    assert features.shape[-1] == 2 * 5 * 4  # FB * fm[level of exit]
+
+    edm, edm_vars, loss = train_edm(features, entropies, epochs=30, batch_size=8)
+    pred = np.asarray(edm.apply(edm_vars, jnp.asarray(features))[:, 0])
+    base = np.mean(np.abs(entropies - entropies.mean()))
+    assert loss < base * 1.5  # learns at least the scale
+
+    # EDM-gated dynamic inference end to end
+    engine = DynamicInferenceEngine(model, variables, edm=edm, edm_variables=edm_vars)
+    logits, k, dt, conf = engine.infer(
+        jnp.asarray(ds[0]["image"])[None], threshold=1e9, confidence="edm"
+    )
+    assert k == 0  # huge threshold → conf <= threshold → immediate exit
+
+
+def test_trainer_end_to_end(tmp_path):
+    model = _small_add("data")
+    ds = SyntheticSegmentation(length=16, crop_size=(33, 33))
+    train_loader = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2)
+    val_loader = DataLoader(
+        SyntheticSegmentation(length=4, crop_size=(33, 33), seed=1),
+        batch_size=2, shuffle=False, drop_last=False,
+    )
+    cfg = TrainConfig(
+        epochs=3, lr=0.02, eval_interval=3, run_dir=str(tmp_path), dataset="synthetic",
+    )
+    trainer = Trainer(model, train_loader, val_loader, cfg)
+    l0 = trainer.training(0)
+    l1 = trainer.training(1)
+    l2 = trainer.training(2)
+    assert np.isfinite([l0, l1, l2]).all()
+    assert l2 < l0  # learning on synthetic structure
+
+    result = trainer.validation(2)
+    assert len(result["miou"]) == 2
+    assert all(0.0 <= m <= 1.0 for m in result["miou"])
+
+
+def test_evaluation_dynamic(model_and_vars):
+    model, variables = model_and_vars
+    evaluation = Evaluation(model, variables, num_classes=19)
+    val_loader = DataLoader(
+        SyntheticSegmentation(length=4, crop_size=(33, 33), seed=2),
+        batch_size=2, shuffle=False, drop_last=False,
+    )
+    stats = evaluation.dynamic_inference(
+        val_loader, threshold=0.5, confidence="entropy"
+    )
+    assert stats["n_images"] == 4
+    assert stats["fps"] > 0
+    assert sum(stats["exit_histogram"]) == 4
+    assert 0.0 <= stats["early_exit_rate"] <= 1.0

@@ -1,0 +1,93 @@
+"""Supernet (cell+path and path-only) structure, gradients, bilevel search."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auto_dynamic_deeplab_tpu.data import DataLoader, SyntheticSegmentation
+from auto_dynamic_deeplab_tpu.models import ModelNetSearch, ModelSearch, normalize_betas
+from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE
+from auto_dynamic_deeplab_tpu.nas.decode import normalize_betas as normalize_betas_np
+from auto_dynamic_deeplab_tpu.train.search_trainer import SearchConfig, SearchTrainer
+
+# 65x65 keeps every trellis level odd (the reference's 321-crop invariant).
+# Non-zero input matters: with affine-free BNs, an all-zero input collapses
+# every activation (and hence every gradient) to exactly zero.
+X = jnp.asarray(np.random.RandomState(7).randn(2, 65, 65, 3), jnp.float32)
+
+
+def test_normalize_betas_matches_host_decoder(rng):
+    b = rng.randn(12, 4, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(normalize_betas(jnp.asarray(b))),
+        normalize_betas_np(b),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_model_search_shapes_and_arch_collection():
+    m = ModelSearch(19, num_layers=6, F=2, B=5, exit_layer=3, remat=False)
+    v = m.init(jax.random.PRNGKey(0), X, train=True)
+    assert set(v) == {"arch", "params", "batch_stats"}
+    assert v["arch"]["alphas"].shape == (20, 8)
+    assert v["arch"]["betas"].shape == (6, 4, 3)
+    outs = m.apply(v, X, train=False)
+    assert [tuple(o.shape) for o in outs] == [(2, 65, 65, 19)] * 2
+
+
+def test_model_net_search_betas_only():
+    m = ModelNetSearch(19, AUTODEEPLAB_GENOTYPE, num_layers=6, F=2, B=5,
+                       C_index=(3,), remat=False)
+    v = m.init(jax.random.PRNGKey(0), X, train=True)
+    assert "alphas" not in v["arch"]
+    outs = m.apply(v, X, train=False)
+    assert len(outs) == 2
+
+
+def test_arch_gradients_nonzero():
+    """Both alphas and betas must receive gradient through the trellis."""
+    m = ModelSearch(19, num_layers=6, F=2, B=5, exit_layer=3, remat=False)
+    v = m.init(jax.random.PRNGKey(0), X, train=True)
+    y = jnp.asarray(np.random.RandomState(0).randint(0, 19, (2, 65, 65)))
+
+    def loss_fn(arch):
+        outs, _ = m.apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"], "arch": arch},
+            X, train=True, mutable=["batch_stats"],
+        )
+        from auto_dynamic_deeplab_tpu.train.loss import multi_exit_cross_entropy
+        return multi_exit_cross_entropy(outs, y)
+
+    g = jax.grad(loss_fn)(v["arch"])
+    assert float(jnp.abs(g["alphas"]).max()) > 0
+    assert float(jnp.abs(g["betas"]).max()) > 0
+    # invalid beta transitions stay exactly zero-gradient (masked softmax)
+    assert float(jnp.abs(g["betas"][0, 0, 0])) == 0
+    assert float(jnp.abs(g["betas"][0, 1:, :]).max()) == 0
+
+
+def test_search_trainer_bilevel(tmp_path):
+    m = ModelNetSearch(19, AUTODEEPLAB_GENOTYPE, num_layers=6, F=2, B=5,
+                       C_index=(3,), remat=False)
+    ds = SyntheticSegmentation(length=8, crop_size=(65, 65))
+    la = DataLoader(ds, batch_size=4, num_workers=2)
+    lb = DataLoader(SyntheticSegmentation(length=8, crop_size=(65, 65), seed=3),
+                    batch_size=4, num_workers=2)
+    lv = DataLoader(SyntheticSegmentation(length=2, crop_size=(65, 65), seed=4),
+                    batch_size=2, shuffle=False, drop_last=False)
+    cfg = SearchConfig(epochs=2, alpha_epoch=1, eval_interval=2,
+                       run_dir=str(tmp_path), lr=0.01)
+    trainer = SearchTrainer(m, la, lb, lv, cfg)
+    betas_before = np.asarray(trainer.arch["betas"]).copy()
+    l0 = trainer.training(0)   # weights only
+    betas_mid = np.asarray(trainer.arch["betas"]).copy()
+    np.testing.assert_array_equal(betas_before, betas_mid)  # pre-alpha_epoch
+    l1 = trainer.training(1)   # bilevel
+    assert not np.allclose(betas_mid, np.asarray(trainer.arch["betas"]))
+    assert np.isfinite([l0, l1]).all()
+
+    result = trainer.validation(1)
+    assert len(result["miou"]) == 2
+    decoded = trainer.decode_and_save(1)
+    assert decoded["path"].shape == (6,)
+    assert decoded["path"][0] in (0, 1)
