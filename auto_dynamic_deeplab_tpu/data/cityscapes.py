@@ -87,8 +87,29 @@ class CityscapesSegmentation:
         img_path = self.files[index]
         img = Image.open(img_path).convert("RGB")
         raw = np.asarray(Image.open(self.label_path(img_path)), np.uint8)
-        mask = Image.fromarray(encode_segmap(raw))
 
+        # fused C++ fast path (csrc/augment.cpp) unless disabled
+        use_native = os.environ.get("ADD_TPU_NATIVE", "1") == "1"
+        if use_native:
+            from . import native
+
+            use_native = native.available()
+
+        if use_native:
+            mask_arr = native.encode_labels_native(raw, _LUT)
+            mask = Image.fromarray(mask_arr)
+            if self.split == "train" and not self.full:
+                scale = 0.5 if self.search else 0.0
+                image, label = T.train_preprocess_native(
+                    img, mask, self.crop_size, scale=scale, rng=rng
+                )
+            else:
+                image, label = T.full_image_eval_preprocess_native(
+                    img, mask, self.eval_crop
+                )
+            return {"image": image, "label": label}
+
+        mask = Image.fromarray(encode_segmap(raw))
         if self.split == "train" and not self.full:
             scale = 0.5 if self.search else 0.0
             image, label = T.train_preprocess(

@@ -106,3 +106,57 @@ def full_image_eval_preprocess(
     image = _normalize(img, mean, std)
     m = np.asarray(mask, np.int64).astype(np.int32)
     return _pad_to(image, m, crop_size)
+
+
+# ---------------------------------------------------------------- native path
+
+def train_preprocess_native(
+    img: Image.Image,
+    mask: Image.Image,
+    crop_size: Tuple[int, int],
+    mean=CITYSCAPES_MEAN,
+    std=CITYSCAPES_STD,
+    scale: float = 0.0,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """Fused single-pass C++ augmentation (csrc/augment.cpp). Draws the same
+    random decisions in the same order as ``train_preprocess`` so seeded runs
+    stay comparable; the image resampling filter is a separable triangle
+    (antialiased) rather than PIL LANCZOS — an augmentation-equivalent
+    substitution, exact at scale==1.
+    """
+    from .native import augment_train_native
+
+    rng = rng or np.random
+    flip = rng.random_sample() < 0.5
+    w, h = img.size
+    if scale == 0.0:
+        lo, hi = math.log(0.5, 2), math.log(2.0, 2)
+        random_scale = 2.0 ** (lo + rng.random_sample() * (hi - lo))
+    else:
+        random_scale = scale
+    nh, nw = int(round(h * random_scale)), int(round(w * random_scale))
+    pad_h, pad_w = max(nh, crop_size[0]), max(nw, crop_size[1])
+    i = rng.randint(0, pad_h - crop_size[0] + 1)
+    j = rng.randint(0, pad_w - crop_size[1] + 1)
+    return augment_train_native(
+        np.asarray(img, np.uint8),
+        np.asarray(mask, np.uint8),
+        crop_size, mean, std, float(random_scale), bool(flip), int(i), int(j),
+    )
+
+
+def full_image_eval_preprocess_native(
+    img: Image.Image,
+    mask: Image.Image,
+    crop_size: Tuple[int, int],
+    mean=CITYSCAPES_MEAN,
+    std=CITYSCAPES_STD,
+):
+    """Fused normalize+pad (exact parity with the Python path)."""
+    from .native import eval_full_native
+
+    return eval_full_native(
+        np.asarray(img, np.uint8), np.asarray(mask, np.uint8),
+        crop_size, mean, std,
+    )
