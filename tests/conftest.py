@@ -16,6 +16,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: the model tests compile large graphs; reruns
+# drop from ~27 min to a few minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/add_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
