@@ -32,6 +32,8 @@ def build_parser():
     p.add_argument("--network", default="ADD", choices=["ADD", "baseline"])
     p.add_argument("--genotype", default=None, help="path to genotype .npy")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint cells (memory for FLOPs)")
     return p
 
 
@@ -59,6 +61,7 @@ def main(argv=None):
         F=args.F, B=args.B, low_level_layer=low_level_layer,
         axis_name=DATA_AXIS if args.sync_bn else None,
         dtype=jnp.bfloat16 if args.bf16 else None,
+        remat=args.remat,
     )
 
     weight = None

@@ -79,6 +79,7 @@ class DecodedNet(nn.Module):
     B: int = 5
     low_level_layer: int = 0
     dense: bool = True
+    remat: bool = False  # checkpoint each cell: trade FLOPs for HBM in train
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -96,6 +97,9 @@ class DecodedNet(nn.Module):
 
         self.stems = _Stems(**kw)
 
+        # remat static_argnums counts self at 0: (self, s0, s1, train) → 3
+        cell_cls = nn.remat(FixedCell, static_argnums=(3,)) if self.remat else FixedCell
+
         cells = []
         for i in range(n):
             level = arch[i]
@@ -103,7 +107,7 @@ class DecodedNet(nn.Module):
             dense_in = self.dense and i >= 3
             dense_out = self.dense and i < n - 2
             cells.append(
-                FixedCell(
+                cell_cls(
                     genotype=self.genotype,
                     B=B,
                     C_out=F * FM[level],

@@ -1,14 +1,20 @@
 """Early-exit dynamic inference engine.
 
 TPU-native re-expression of ADD.dynamic_inference (modeling/ADD.py:379-488),
-which is data-dependent Python control flow over CUDA kernels. Here the
-backbone is cut at every exit into separately-compiled XLA programs:
+which is data-dependent Python control flow over CUDA kernels. The backbone
+is cut at every exit into *decision programs*, each a single fused XLA
+program, so one exit decision costs exactly one launch + one scalar readback:
 
-    stem+cells[0..e0] -> conf_0 -> (head_0 | cells[e0+1..e1]) -> ...
+    decide_0 = stem + cells[0..e0] + confidence_0      -> (state, conf)
+    decide_k =        cells[e_{k-1}+1..e_k] + conf_k   -> (state, conf)
+    final    =        cells[e_{K-1}+1..end] + head     -> logits
+    head_k   = exit head at e_k (launched only when exiting there)
 
-The host reads ONE scalar confidence per exit decision; stopping early means
-later segments are never launched, so early exit genuinely skips FLOPs (the
-BASELINE.md requirement) — not masked-out math.
+Stopping early means later programs never launch — early exit genuinely
+skips FLOPs (the BASELINE.md requirement), not masked-out math. For the
+entropy/max confidences the decision program also emits the exit logits
+(the reference decodes the head before judging, ADD.py:465-476); for EDM the
+head is skipped while continuing (ADD.py:421-423).
 
 Two modes:
   * per-image (batch 1) with wall-clock timing — benchmark parity with the
@@ -19,7 +25,6 @@ Two modes:
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -48,30 +53,68 @@ class DynamicInferenceEngine:
 
     # ------------------------------------------------------------ programs
 
-    def _segment(self, start: int, end: int) -> Callable:
-        key = ("seg", start, end)
+    def _confidence(self, state, exit_layer, size, confidence, threshold):
+        """Confidence (and logits, for head-based signals) inside a program."""
+        if confidence == "edm":
+            feature = self.model.apply(
+                self.variables, state, exit_layer, method="exit_feature"
+            )
+            return self.edm.apply(self.edm_variables, feature)[:, 0], None
+        logits = self.model.apply(
+            self.variables, state, exit_layer, size, False, method="exit_logits"
+        )
+        if confidence == "entropy":
+            return normalized_shannon_entropy(logits, self.num_classes), logits
+        return confidence_max(logits, threshold), logits
+
+    def _decide(self, k: int, size, confidence: str, threshold: float) -> Callable:
+        """Fused program for exit station k (not the last): run the cells up
+        to e_k (plus stem when k == 0) and the confidence — one launch."""
+        key = ("decide", k, size, confidence, threshold)
         if key not in self._programs:
+            e = self.exits[k]
+            start = 0 if k == 0 else self.exits[k - 1] + 1
 
             @jax.jit
-            def seg(state):
-                return self.model.apply(
-                    self.variables, state, start, end, False, method="run_cells"
+            def decide(x_or_state):
+                state = x_or_state
+                if k == 0:
+                    state = self.model.apply(
+                        self.variables, state, False, method="stem_state"
+                    )
+                state = self.model.apply(
+                    self.variables, state, start, e, False, method="run_cells"
                 )
+                conf, logits = self._confidence(state, e, size, confidence, threshold)
+                if logits is None:
+                    return state, conf
+                return state, conf, logits
 
-            self._programs[key] = seg
+            self._programs[key] = decide
         return self._programs[key]
 
-    def _stem(self) -> Callable:
-        if ("stem",) not in self._programs:
+    def _final(self, size) -> Callable:
+        """Last segment fused with the final shared head — one launch."""
+        key = ("final", size)
+        if key not in self._programs:
+            e = self.exits[-1]
+            start = self.exits[-2] + 1 if len(self.exits) > 1 else 0
 
             @jax.jit
-            def stem(x):
+            def final(state):
+                if len(self.exits) == 1:
+                    state = self.model.apply(
+                        self.variables, state, False, method="stem_state"
+                    )
+                state = self.model.apply(
+                    self.variables, state, start, e, False, method="run_cells"
+                )
                 return self.model.apply(
-                    self.variables, x, False, method="stem_state"
+                    self.variables, state, e, size, False, method="exit_logits"
                 )
 
-            self._programs[("stem",)] = stem
-        return self._programs[("stem",)]
+            self._programs[key] = final
+        return self._programs[key]
 
     def _head(self, exit_layer: int, size) -> Callable:
         key = ("head", exit_layer, size)
@@ -87,59 +130,26 @@ class DynamicInferenceEngine:
             self._programs[key] = head
         return self._programs[key]
 
-    def _edm_conf(self, exit_layer: int) -> Callable:
-        key = ("edm", exit_layer)
-        if key not in self._programs:
-            assert self.edm is not None and self.edm_variables is not None
-
-            @jax.jit
-            def conf(state):
-                feature = self.model.apply(
-                    self.variables, state, exit_layer, method="exit_feature"
-                )
-                return self.edm.apply(self.edm_variables, feature)[:, 0]
-
-            self._programs[key] = conf
-        return self._programs[key]
-
-    def _head_conf(
-        self, exit_layer: int, size, confidence: str, threshold: float
-    ) -> Callable:
-        key = ("headconf", exit_layer, size, confidence, threshold)
-        if key not in self._programs:
-
-            @jax.jit
-            def head_conf(state):
-                logits = self.model.apply(
-                    self.variables, state, exit_layer, size, False,
-                    method="exit_logits",
-                )
-                if confidence == "entropy":
-                    c = normalized_shannon_entropy(logits, self.num_classes)
-                else:
-                    c = confidence_max(logits, threshold)
-                return logits, c
-
-            self._programs[key] = head_conf
-        return self._programs[key]
-
     def warmup(self, input_shape, confidence: str = "edm", threshold: float = 0.0):
         """Compile every program for a given input shape."""
         x = jnp.zeros(input_shape, jnp.float32)
         size = tuple(input_shape[1:3])
-        state = self._stem()(x)
-        start = 0
-        for k, e in enumerate(self.exits):
-            state = self._segment(start, e)(state)
-            if k < len(self.exits) - 1:
-                if confidence == "edm":
-                    jax.block_until_ready(self._edm_conf(e)(state))
-                else:
-                    jax.block_until_ready(
-                        self._head_conf(e, size, confidence, threshold)(state)
-                    )
-            jax.block_until_ready(self._head(e, size)(state))
-            start = e + 1
+        carry = x
+        for k in range(len(self.exits) - 1):
+            out = self._decide(k, size, confidence, threshold)(carry)
+            carry = out[0]
+            jax.block_until_ready(out[1])
+            if confidence == "edm":
+                jax.block_until_ready(self._head(self.exits[k], size)(carry))
+        jax.block_until_ready(self._final(size)(carry))
+
+    @staticmethod
+    def _exits_now(conf, confidence: str, threshold: float):
+        if confidence == "edm":
+            return conf <= threshold  # confident → exit (ADD.py:421-432)
+        if confidence == "entropy":
+            return conf < threshold  # low entropy → exit (ADD.py:478)
+        return conf > threshold  # high max-prob coverage → exit (ADD.py:481)
 
     # ------------------------------------------------------- per-image mode
 
@@ -157,35 +167,24 @@ class DynamicInferenceEngine:
         jax.block_until_ready(x)
         t0 = time.perf_counter()
 
-        state = self._stem()(x)
-        start = 0
+        carry = x
         logits = None
         conf_value = float("nan")
         exit_index = len(self.exits) - 1
-        for k, e in enumerate(self.exits):
-            state = self._segment(start, e)(state)
-            start = e + 1
-            is_last = k == len(self.exits) - 1
-            if is_last:
-                logits = self._head(e, size)(state)
-                break
-            if confidence == "edm":
-                conf_value = float(self._edm_conf(e)(state)[0])
-                if conf_value <= threshold:  # confident → exit (ADD.py:421-432)
-                    logits = self._head(e, size)(state)
-                    exit_index = k
-                    break
-            else:
-                logits, c = self._head_conf(e, size, confidence, threshold)(state)
-                conf_value = float(c[0])
-                exit_now = (
-                    conf_value < threshold
-                    if confidence == "entropy"
-                    else conf_value > threshold
+        for k in range(len(self.exits) - 1):
+            out = self._decide(k, size, confidence, threshold)(carry)
+            carry, conf = out[0], out[1]
+            conf_value = float(conf[0])  # the one scalar readback per decision
+            if self._exits_now(conf_value, confidence, threshold):
+                exit_index = k
+                logits = (
+                    self._head(self.exits[k], size)(carry)
+                    if confidence == "edm"
+                    else out[2]
                 )
-                if exit_now:
-                    exit_index = k
-                    break
+                break
+        if logits is None:
+            logits = self._final(size)(carry)
 
         jax.block_until_ready(logits)
         latency = time.perf_counter() - t0
@@ -210,35 +209,21 @@ class DynamicInferenceEngine:
         size = tuple(x.shape[1:3])
         if bucket_sizes is None:
             bucket_sizes = sorted({2 ** i for i in range(0, 16) if 2 ** i < n} | {n})
-        state = self._stem()(jnp.asarray(x))
+        carry = jnp.asarray(x)
         alive = np.arange(n)
-        out = [None] * n
+        out: List[Optional[np.ndarray]] = [None] * n
         exit_idx = np.full(n, len(self.exits) - 1, np.int64)
-        start = 0
 
-        for k, e in enumerate(self.exits):
-            state = self._segment(start, e)(state)
-            start = e + 1
-            is_last = k == len(self.exits) - 1
-            if is_last:
-                logits = self._head(e, size)(state)
-                for j, img in enumerate(alive):
-                    out[img] = np.asarray(logits[j], np.float32)
-                break
-
-            if confidence == "edm":
-                conf = np.asarray(self._edm_conf(e)(state))
-                exits_now = conf <= threshold
-            else:
-                logits, conf = self._head_conf(e, size, confidence, threshold)(state)
-                conf = np.asarray(conf)
-                exits_now = (
-                    conf < threshold if confidence == "entropy" else conf > threshold
-                )
+        for k in range(len(self.exits) - 1):
+            res = self._decide(k, size, confidence, threshold)(carry)
+            carry, conf = res[0], np.asarray(res[1])
+            exits_now = self._exits_now(conf, confidence, threshold)
 
             if exits_now.any():
                 head_logits = (
-                    logits if confidence != "edm" else self._head(e, size)(state)
+                    self._head(self.exits[k], size)(carry)
+                    if confidence == "edm"
+                    else res[2]
                 )
                 for j in np.nonzero(exits_now)[0]:
                     out[alive[j]] = np.asarray(head_logits[j], np.float32)
@@ -246,13 +231,98 @@ class DynamicInferenceEngine:
 
             keep = np.nonzero(~exits_now)[0]
             if keep.size == 0:
-                break
+                return np.stack(out), exit_idx
             if keep.size < len(alive):
                 bucket = min(b for b in bucket_sizes if b >= keep.size)
                 pad = np.concatenate([keep, np.repeat(keep[-1], bucket - keep.size)])
                 idx = jnp.asarray(pad)
-                state = jax.tree.map(lambda a: a[idx], state)
+                carry = jax.tree.map(lambda a: a[idx], carry)
                 alive = alive[keep]
 
-        logits = np.stack([o for o in out])
-        return logits, exit_idx
+        logits = self._final(size)(carry)
+        for j, img in enumerate(alive):
+            out[img] = np.asarray(logits[j], np.float32)
+        return np.stack(out), exit_idx
+
+    # ---------------------------------------------- single-program cond mode
+
+    def fused_program(self, size, confidence: str = "edm") -> Callable:
+        """ONE compiled program for the whole dynamic inference: the exit
+        decision is a `lax.cond` chain, so the untaken branches' FLOPs are
+        skipped ON DEVICE (HLO Conditional executes a single branch) with no
+        host round trip per exit — the TPU-native answer to the reference's
+        Python control flow. The threshold is a runtime scalar (no recompile
+        per threshold).
+
+        Returns jit fn(x, threshold) -> (logits, exit_index, confidence).
+        """
+        key = ("fused", size, confidence)
+        if key in self._programs:
+            return self._programs[key]
+
+        exits = self.exits
+        model, variables = self.model, self.variables
+
+        def run_cells(state, start, end):
+            return model.apply(variables, state, start, end, False, method="run_cells")
+
+        def head(state, e):
+            return model.apply(
+                variables, state, e, size, False, method="exit_logits"
+            )
+
+        def conf_of(state, e, threshold):
+            if confidence == "edm":
+                feature = model.apply(variables, state, e, method="exit_feature")
+                return self.edm.apply(self.edm_variables, feature)[0, 0], None
+            logits = head(state, e)
+            if confidence == "entropy":
+                return normalized_shannon_entropy(logits, self.num_classes)[0], logits
+            return confidence_max(logits, threshold)[0], logits
+
+        def exit_pred(conf, threshold):
+            if confidence == "edm":
+                return conf <= threshold
+            if confidence == "entropy":
+                return conf < threshold
+            return conf > threshold
+
+        def stage(k, state, threshold):
+            """Cells up to exit k, then cond(exit here, descend deeper)."""
+            e = exits[k]
+            start = 0 if k == 0 else exits[k - 1] + 1
+            state = run_cells(state, start, e)
+            if k == len(exits) - 1:
+                return head(state, e), jnp.int32(k), jnp.float32(jnp.nan)
+
+            conf, maybe_logits = conf_of(state, e, threshold)
+
+            def take_exit(s):
+                logits = maybe_logits if maybe_logits is not None else head(s, e)
+                return logits.astype(jnp.float32), jnp.int32(k), conf
+
+            def descend(s):
+                logits, idx, _ = stage(k + 1, s, threshold)
+                return logits.astype(jnp.float32), idx, conf
+
+            return jax.lax.cond(exit_pred(conf, threshold), take_exit, descend, state)
+
+        @jax.jit
+        def program(x, threshold):
+            state = model.apply(variables, x, False, method="stem_state")
+            return stage(0, state, threshold)
+
+        self._programs[key] = program
+        return program
+
+    def infer_fused(self, x, threshold: float = 0.0, confidence: str = "edm"):
+        """Single-launch dynamic inference. Same return contract as infer()."""
+        x = jnp.asarray(x)
+        size = tuple(x.shape[1:3])
+        program = self.fused_program(size, confidence)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        logits, idx, conf = program(x, jnp.float32(threshold))
+        jax.block_until_ready(logits)
+        latency = time.perf_counter() - t0
+        return logits, int(idx), latency, float(conf)

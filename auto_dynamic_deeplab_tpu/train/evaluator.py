@@ -74,6 +74,7 @@ class Evaluation:
         threshold: float = 0.0,
         confidence: str = "edm",
         warmup_shape=None,
+        fused: bool = True,
     ) -> Dict:
         evaluator = Evaluator(self.num_classes)
         latency = AverageMeter()
@@ -82,10 +83,12 @@ class Evaluation:
         early_exits = 0
         exit_histogram = [0] * len(self.model.exit_layers)
 
-        if warmup_shape is not None:
+        infer = self.engine.infer_fused if fused else self.engine.infer
+        if warmup_shape is not None and not fused:
             self.engine.warmup(warmup_shape, confidence, threshold)
 
-        warmed = warmup_shape is not None
+        warmed = fused or warmup_shape is not None
+        first = True
         for batch in loader:
             images, labels = batch["image"], batch["label"]
             for i in range(images.shape[0]):
@@ -93,9 +96,15 @@ class Evaluation:
                 if not warmed:
                     self.engine.warmup(x.shape, confidence, threshold)
                     warmed = True
-                logits, exit_idx, dt, conf = self.engine.infer(
+                logits, exit_idx, dt, conf = infer(
                     x, threshold=threshold, confidence=confidence
                 )
+                if first and fused:
+                    # discard the compile-inclusive first timing
+                    logits, exit_idx, dt, conf = infer(
+                        x, threshold=threshold, confidence=confidence
+                    )
+                    first = False
                 pred = np.asarray(jnp.argmax(logits, axis=-1))[0]
                 evaluator.add_batch(labels[i], pred)
                 latency.update(dt)

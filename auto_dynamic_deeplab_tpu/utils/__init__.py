@@ -14,3 +14,8 @@ __all__ = [
     "model_complexity",
     "xla_cost",
 ]
+
+from .profiling import device_time, flops_of, trace
+from .restore import copy_state_dict
+
+__all__ += ["copy_state_dict", "device_time", "flops_of", "trace"]

