@@ -17,3 +17,7 @@ __all__ = [
     "replicated_spec",
     "shard_batch",
 ]
+
+from .distributed import data_shard, initialize, spatial_shard_forward
+
+__all__ += ["data_shard", "initialize", "spatial_shard_forward"]
