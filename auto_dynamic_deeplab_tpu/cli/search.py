@@ -10,7 +10,7 @@ import argparse
 import numpy as np
 
 from ..data import make_data_loader
-from ..models import ModelNetSearch, ModelSearch
+from ..models import ModelBaselinePathSearch, ModelNetSearch, ModelSearch
 from ..nas.genotypes import AUTODEEPLAB_GENOTYPE
 from ..train.search_trainer import SearchConfig, SearchTrainer
 from .common import add_common_args, search_c_index
@@ -20,7 +20,7 @@ def build_parser():
     p = argparse.ArgumentParser(description="NAS supernet search")
     add_common_args(p)
     p.add_argument("--network", default="net_supernet",
-                   choices=["supernet", "net_supernet"])
+                   choices=["supernet", "net_supernet", "baseline_path"])
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--alpha-epoch", type=int, default=150)
     p.add_argument("--lr", type=float, default=0.025)
@@ -56,6 +56,13 @@ def main(argv=None):
     if args.network == "supernet":
         model = ModelSearch(
             nclass, num_layers=args.num_layers, F=args.F, B=args.B,
+            exit_layer=exits[0], remat=not args.no_remat,
+        )
+    elif args.network == "baseline_path":
+        # 2-exit fixed-station variant (search_layer.py, broken in the ref)
+        genotype = np.load(args.genotype) if args.genotype else AUTODEEPLAB_GENOTYPE
+        model = ModelBaselinePathSearch(
+            nclass, genotype, num_layers=args.num_layers, F=args.F, B=args.B,
             exit_layer=exits[0], remat=not args.no_remat,
         )
     else:
