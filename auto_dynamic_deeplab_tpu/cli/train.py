@@ -34,6 +34,11 @@ def build_parser():
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint cells (memory for FLOPs)")
+    p.add_argument("--resume", default=None,
+                   help="'auto' (newest committed checkpoint for this "
+                        "checkname; preemption recovery) or a checkpoint dir")
+    p.add_argument("--ft", action="store_true",
+                   help="fine-tune: load weights only, restart the schedule")
     return p
 
 
@@ -81,6 +86,8 @@ def main(argv=None):
         dataset=args.dataset,
         checkname=args.checkname or f"{args.network}_C{args.C}_F{args.F}",
         data_parallel=not args.no_data_parallel,
+        resume=args.resume,
+        ft=args.ft,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, class_weight=weight,
                       seed=args.seed)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import make_mesh
-from ..utils.saver import Saver
+from ..utils.saver import Saver, find_latest_checkpoint, restore_checkpoint
 from ..utils.summaries import TrainingSummary
 from .evaluator import Evaluation
 from .schedules import lr_schedule
@@ -41,6 +41,13 @@ class TrainConfig:
     dataset: str = "synthetic"
     checkname: str = "add"
     data_parallel: bool = True
+    # 'auto' = newest committed checkpoint for this run_dir/dataset/checkname
+    # (preemption recovery); or an explicit checkpoint directory path
+    # (reference --resume, train.py:184-210)
+    resume: Optional[str] = None
+    # load weights only, restart schedule from epoch 0 (reference --ft,
+    # train.py:212-214)
+    ft: bool = False
 
 
 class Trainer:
@@ -94,9 +101,40 @@ class Trainer:
             self.train_step = make_single_device_train_step(model, self.tx, weight)
             self.n_shards = 1
 
+        self.start_epoch = 0
+        if config.resume:
+            self._resume(config.resume, ft=config.ft)
+
         self.saver = Saver(config.run_dir, config.dataset, config.checkname)
         self.saver.save_experiment_config(dataclasses.asdict(config))
         self.summary = TrainingSummary(self.saver.experiment_dir)
+
+    def _resume(self, resume: str, ft: bool = False):
+        """Restore params/BN-stats/optimizer/step from a committed checkpoint
+        ('auto' discovers the newest one — preemption-safe recovery). With
+        ``ft`` only the weights are kept and the schedule restarts."""
+        path = resume
+        if resume == "auto":
+            path = find_latest_checkpoint(
+                self.config.run_dir, self.config.dataset, self.config.checkname
+            )
+            if path is None:
+                return  # cold start: nothing committed yet
+        target = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored, meta = restore_checkpoint(path, target)
+        if ft:
+            self.state = self.state.replace(
+                params=restored["params"], batch_stats=restored["batch_stats"]
+            )
+        else:
+            self.state = self.state.replace(**restored)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_pred = float(meta.get("best_pred", 0.0))
 
     def training(self, epoch: int) -> float:
         self.train_loader.set_epoch(epoch)
@@ -148,7 +186,7 @@ class Trainer:
     def fit(self, epochs: Optional[int] = None) -> dict:
         epochs = epochs or self.config.epochs
         result = {}
-        for epoch in range(epochs):
+        for epoch in range(self.start_epoch, epochs):
             loss = self.training(epoch)
             if (epoch + 1) % self.config.eval_interval == 0 or epoch == epochs - 1:
                 result = self.validation(epoch)

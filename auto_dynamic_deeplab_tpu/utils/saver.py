@@ -17,6 +17,37 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def find_latest_checkpoint(
+    directory_root: str,
+    dataset: str,
+    checkname: str,
+    filename: str = "checkpoint",
+) -> Optional[str]:
+    """Newest experiment dir under run/{dataset}/{checkname} that holds a
+    committed ``filename`` checkpoint — the preemption/auto-resume discovery
+    path (the reference only supports an explicit --resume file,
+    train.py:184-190)."""
+    directory = os.path.join(directory_root, dataset, checkname)
+    runs = glob.glob(os.path.join(directory, "experiment_*"))
+    for run in sorted(runs, key=lambda r: int(r.split("_")[-1]), reverse=True):
+        path = os.path.join(run, filename)
+        if os.path.isdir(path) and os.path.exists(path + ".meta.json"):
+            return os.path.abspath(path)
+    return None
+
+
+def restore_checkpoint(path: str, target: Any):
+    """Restore a pytree checkpoint saved by Saver into ``target``'s
+    structure; returns (restored, meta)."""
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path), target)
+    meta_path = path + ".meta.json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored, meta
+
+
 class Saver:
     def __init__(self, directory_root: str, dataset: str, checkname: str):
         self.directory = os.path.join(directory_root, dataset, checkname)
