@@ -29,7 +29,7 @@ def entropy_signal_study(
     the per-image CE loss."""
 
     @jax.jit
-    def signals(x, y):
+    def signals(variables, x, y):
         logits, feature = model.apply(
             variables, x, train=False, method="get_feature"
         )
@@ -45,7 +45,9 @@ def entropy_signal_study(
 
     ent, maxc, pool, loss = [], [], [], []
     for batch in loader:
-        e, m, p, l = signals(jnp.asarray(batch["image"]), jnp.asarray(batch["label"]))
+        e, m, p, l = signals(
+            variables, jnp.asarray(batch["image"]), jnp.asarray(batch["label"])
+        )
         ent.extend(np.asarray(e))
         maxc.extend(np.asarray(m))
         pool.extend(np.asarray(p))

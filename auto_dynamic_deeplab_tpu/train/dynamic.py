@@ -52,20 +52,35 @@ class DynamicInferenceEngine:
         self._programs = {}
 
     # ------------------------------------------------------------ programs
+    #
+    # Every jitted program takes ``(variables, edm_variables)`` as explicit
+    # arguments rather than closing over them: closed-over weight pytrees
+    # become HLO constants, and constants are re-uploaded on every execution
+    # by remote-relay runtimes (~46 MB/launch for the flagship ADD — measured
+    # 41.6 ms/launch as constants vs 2.35 ms as arguments on v5e).
 
-    def _confidence(self, state, exit_layer, size, confidence, threshold):
+    def _confidence(
+        self, variables, edm_variables, state, exit_layer, size, confidence, threshold
+    ):
         """Confidence (and logits, for head-based signals) inside a program."""
         if confidence == "edm":
             feature = self.model.apply(
-                self.variables, state, exit_layer, method="exit_feature"
+                variables, state, exit_layer, method="exit_feature"
             )
-            return self.edm.apply(self.edm_variables, feature)[:, 0], None
+            return self.edm.apply(edm_variables, feature)[:, 0], None
         logits = self.model.apply(
-            self.variables, state, exit_layer, size, False, method="exit_logits"
+            variables, state, exit_layer, size, False, method="exit_logits"
         )
         if confidence == "entropy":
             return normalized_shannon_entropy(logits, self.num_classes), logits
         return confidence_max(logits, threshold), logits
+
+    def _bind(self, fn) -> Callable:
+        """Partially apply the weight pytrees at call time (NOT trace time)."""
+        def call(*args):
+            return fn(self.variables, self.edm_variables, *args)
+
+        return call
 
     def _decide(self, k: int, size, confidence: str, threshold: float) -> Callable:
         """Fused program for exit station k (not the last): run the cells up
@@ -76,21 +91,23 @@ class DynamicInferenceEngine:
             start = 0 if k == 0 else self.exits[k - 1] + 1
 
             @jax.jit
-            def decide(x_or_state):
+            def decide(variables, edm_variables, x_or_state):
                 state = x_or_state
                 if k == 0:
                     state = self.model.apply(
-                        self.variables, state, False, method="stem_state"
+                        variables, state, False, method="stem_state"
                     )
                 state = self.model.apply(
-                    self.variables, state, start, e, False, method="run_cells"
+                    variables, state, start, e, False, method="run_cells"
                 )
-                conf, logits = self._confidence(state, e, size, confidence, threshold)
+                conf, logits = self._confidence(
+                    variables, edm_variables, state, e, size, confidence, threshold
+                )
                 if logits is None:
                     return state, conf
                 return state, conf, logits
 
-            self._programs[key] = decide
+            self._programs[key] = self._bind(decide)
         return self._programs[key]
 
     def _final(self, size) -> Callable:
@@ -101,19 +118,20 @@ class DynamicInferenceEngine:
             start = self.exits[-2] + 1 if len(self.exits) > 1 else 0
 
             @jax.jit
-            def final(state):
+            def final(variables, edm_variables, state):
+                del edm_variables
                 if len(self.exits) == 1:
                     state = self.model.apply(
-                        self.variables, state, False, method="stem_state"
+                        variables, state, False, method="stem_state"
                     )
                 state = self.model.apply(
-                    self.variables, state, start, e, False, method="run_cells"
+                    variables, state, start, e, False, method="run_cells"
                 )
                 return self.model.apply(
-                    self.variables, state, e, size, False, method="exit_logits"
+                    variables, state, e, size, False, method="exit_logits"
                 )
 
-            self._programs[key] = final
+            self._programs[key] = self._bind(final)
         return self._programs[key]
 
     def _head(self, exit_layer: int, size) -> Callable:
@@ -121,13 +139,14 @@ class DynamicInferenceEngine:
         if key not in self._programs:
 
             @jax.jit
-            def head(state):
+            def head(variables, edm_variables, state):
+                del edm_variables
                 return self.model.apply(
-                    self.variables, state, exit_layer, size, False,
+                    variables, state, exit_layer, size, False,
                     method="exit_logits",
                 )
 
-            self._programs[key] = head
+            self._programs[key] = self._bind(head)
         return self._programs[key]
 
     def warmup(self, input_shape, confidence: str = "edm", threshold: float = 0.0):
@@ -261,24 +280,7 @@ class DynamicInferenceEngine:
             return self._programs[key]
 
         exits = self.exits
-        model, variables = self.model, self.variables
-
-        def run_cells(state, start, end):
-            return model.apply(variables, state, start, end, False, method="run_cells")
-
-        def head(state, e):
-            return model.apply(
-                variables, state, e, size, False, method="exit_logits"
-            )
-
-        def conf_of(state, e, threshold):
-            if confidence == "edm":
-                feature = model.apply(variables, state, e, method="exit_feature")
-                return self.edm.apply(self.edm_variables, feature)[0, 0], None
-            logits = head(state, e)
-            if confidence == "entropy":
-                return normalized_shannon_entropy(logits, self.num_classes)[0], logits
-            return confidence_max(logits, threshold)[0], logits
+        model, edm = self.model, self.edm
 
         def exit_pred(conf, threshold):
             if confidence == "edm":
@@ -287,36 +289,60 @@ class DynamicInferenceEngine:
                 return conf < threshold
             return conf > threshold
 
-        def stage(k, state, threshold):
-            """Cells up to exit k, then cond(exit here, descend deeper)."""
-            e = exits[k]
-            start = 0 if k == 0 else exits[k - 1] + 1
-            state = run_cells(state, start, e)
-            if k == len(exits) - 1:
-                return head(state, e), jnp.int32(k), jnp.float32(jnp.nan)
-
-            conf, maybe_logits = conf_of(state, e, threshold)
-
-            # Branches carry logits in the head's native dtype (bf16 under a
-            # bf16 policy): casting to fp32 here would add a ~320 MB copy at
-            # the HLO Conditional boundary per level at 1025x2049.
-            def take_exit(s):
-                logits = maybe_logits if maybe_logits is not None else head(s, e)
-                return logits, jnp.int32(k), conf
-
-            def descend(s):
-                logits, idx, _ = stage(k + 1, s, threshold)
-                return logits, idx, conf
-
-            return jax.lax.cond(exit_pred(conf, threshold), take_exit, descend, state)
-
         @jax.jit
-        def program(x, threshold):
+        def program(variables, edm_variables, x, threshold):
+            def run_cells(state, start, end):
+                return model.apply(
+                    variables, state, start, end, False, method="run_cells"
+                )
+
+            def head(state, e):
+                return model.apply(
+                    variables, state, e, size, False, method="exit_logits"
+                )
+
+            def conf_of(state, e, threshold):
+                if confidence == "edm":
+                    feature = model.apply(variables, state, e, method="exit_feature")
+                    return edm.apply(edm_variables, feature)[0, 0], None
+                logits = head(state, e)
+                if confidence == "entropy":
+                    return (
+                        normalized_shannon_entropy(logits, self.num_classes)[0],
+                        logits,
+                    )
+                return confidence_max(logits, threshold)[0], logits
+
+            def stage(k, state, threshold):
+                """Cells up to exit k, then cond(exit here, descend deeper)."""
+                e = exits[k]
+                start = 0 if k == 0 else exits[k - 1] + 1
+                state = run_cells(state, start, e)
+                if k == len(exits) - 1:
+                    return head(state, e), jnp.int32(k), jnp.float32(jnp.nan)
+
+                conf, maybe_logits = conf_of(state, e, threshold)
+
+                # Branches carry logits in the head's native dtype (bf16 under
+                # a bf16 policy): casting to fp32 here would add a ~320 MB copy
+                # at the HLO Conditional boundary per level at 1025x2049.
+                def take_exit(s):
+                    logits = maybe_logits if maybe_logits is not None else head(s, e)
+                    return logits, jnp.int32(k), conf
+
+                def descend(s):
+                    logits, idx, _ = stage(k + 1, s, threshold)
+                    return logits, idx, conf
+
+                return jax.lax.cond(
+                    exit_pred(conf, threshold), take_exit, descend, state
+                )
+
             state = model.apply(variables, x, False, method="stem_state")
             return stage(0, state, threshold)
 
-        self._programs[key] = program
-        return program
+        self._programs[key] = self._bind(program)
+        return self._programs[key]
 
     def infer_fused(self, x, threshold: float = 0.0, confidence: str = "edm"):
         """Single-launch dynamic inference. Same return contract as infer()."""

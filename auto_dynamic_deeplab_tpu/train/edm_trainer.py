@@ -41,14 +41,14 @@ def make_edm_dataset(
             return np.load(fpath), np.load(epath)
 
     @jax.jit
-    def get(x):
+    def get(variables, x):
         logits, feature = model.apply(variables, x, train=False, method="get_feature")
         return feature, normalized_shannon_entropy(logits, num_classes)
 
     feats, ents = [], []
     count = 0
     for batch in loader:
-        f, e = get(jnp.asarray(batch["image"]))
+        f, e = get(variables, jnp.asarray(batch["image"]))
         feats.append(np.asarray(f, np.float32))
         ents.append(np.asarray(e, np.float32))
         count += f.shape[0]

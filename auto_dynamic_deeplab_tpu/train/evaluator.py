@@ -34,14 +34,16 @@ class Evaluation:
         self.edm = edm
         self.edm_variables = edm_variables
 
+        # Weights are jit arguments, not closed-over constants (constants are
+        # re-uploaded per execution by remote-relay runtimes).
         @jax.jit
-        def _forward(x):
+        def _forward(variables, x):
             outs = model.apply(variables, x, train=False)
             preds = [jnp.argmax(o, axis=-1) for o in outs]
             confs = [normalized_shannon_entropy(o, num_classes) for o in outs]
             return preds, confs
 
-        self._forward = _forward
+        self._forward = lambda x: _forward(self.variables, x)
         self.engine = DynamicInferenceEngine(
             model, variables, edm=edm, edm_variables=edm_variables,
             num_classes=num_classes,

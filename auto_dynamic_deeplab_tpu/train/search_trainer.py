@@ -168,12 +168,12 @@ class SearchTrainer:
         }
 
         @jax.jit
-        def predict(x):
+        def predict(variables, x):
             outs = self.model.apply(variables, x, train=False)
             return [jnp.argmax(o, axis=-1) for o in outs]
 
         for batch in self.val_loader:
-            preds = predict(jnp.asarray(batch["image"]))
+            preds = predict(variables, jnp.asarray(batch["image"]))
             for k in range(n_exits):
                 evaluators[k].add_batch(batch["label"], np.asarray(preds[k]))
         mious = [e.Mean_Intersection_over_Union() for e in evaluators]

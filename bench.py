@@ -56,11 +56,13 @@ def main():
     def full(x):  # impossible threshold → full depth
         return program(x, jnp.float32(-1.0))[0]
 
-    fwd = jax.jit(lambda x: tuple(model.apply(variables, x, train=False)))
+    # Weights as jit ARGUMENTS (not closed-over constants): remote-relay
+    # runtimes re-upload embedded constants every execution (~46 MB here).
+    fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
 
     t_early = _timed(early, x)
     t_full = _timed(full, x)
-    t_fwd = _timed(fwd, x)
+    t_fwd = _timed(fwd, variables, x)
 
     print(
         json.dumps(
