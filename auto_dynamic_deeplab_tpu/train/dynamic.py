@@ -80,6 +80,7 @@ class DynamicInferenceEngine:
         def call(*args):
             return fn(self.variables, self.edm_variables, *args)
 
+        call.raw = fn  # the unbound jit fn, for introspection/tests
         return call
 
     def _decide(self, k: int, size, confidence: str, threshold: float) -> Callable:

@@ -170,3 +170,27 @@ def test_fused_cond_matches_segmented(rng, model_and_vars):
         )
         if expect_exit == 0:
             assert f_conf == pytest.approx(seg_conf, rel=1e-4)
+
+
+def test_programs_take_weights_as_arguments(model_and_vars):
+    """No inference program may close over the weight pytree: closed-over
+    weights become HLO constants, which remote-relay TPU runtimes re-upload
+    on every execution (measured 41.6 ms/launch vs 2.35 ms for the flagship
+    ADD on v5e). Guard: the lowered fused program's HLO must carry the
+    weights as entry parameters, not as large constants."""
+    model, variables = model_and_vars
+    engine = DynamicInferenceEngine(model, variables)
+    size = (33, 33)
+    program = engine.fused_program(size, confidence="entropy")
+    x = jnp.zeros((1, 33, 33, 3), jnp.float32)
+
+    # The engine's stored program is a bound wrapper over a jit fn whose
+    # leading arguments are the weight pytrees.
+    lowered = program.raw.lower(variables, None, x, jnp.float32(0.0))
+    hlo = lowered.as_text()
+    # With weights as arguments the module text stays small; closed-over
+    # weights would appear as multi-MB dense constants (or elided blobs).
+    assert len(hlo) < 8_000_000, f"suspiciously large HLO text: {len(hlo)}"
+    assert "__elided__" not in hlo
+    # and the bound program still runs and exits at station 0
+    assert int(program(x, jnp.float32(2.0))[1]) == 0
