@@ -42,6 +42,7 @@ class DynamicInferenceEngine:
         edm=None,
         edm_variables=None,
         num_classes: int = 19,
+        use_pallas_stems: str = "auto",
     ):
         self.model = model
         self.variables = variables
@@ -50,6 +51,33 @@ class DynamicInferenceEngine:
         self.num_classes = num_classes
         self.exits: Tuple[int, ...] = model.exit_layers
         self._programs = {}
+        # Fused Pallas stems (kernels/stems.py): ~2.4 ms vs ~4.8 ms for the
+        # XLA stems at 1025x2049 on v5e. TPU + bf16 eval path only.
+        if use_pallas_stems == "auto":
+            self._pallas_stems = (
+                getattr(model, "dtype", None) == jnp.bfloat16
+                and jax.default_backend() not in ("cpu",)
+            )
+        else:
+            self._pallas_stems = bool(use_pallas_stems)
+
+    def _stem_state(self, variables, x):
+        """Backbone stem state; routes to the fused Pallas kernel on TPU."""
+        if self._pallas_stems:
+            from ..kernels.stems import fold_stem_bns, fused_stems
+
+            args = fold_stem_bns(
+                variables["params"]["stems"], variables["batch_stats"]["stems"]
+            )
+            s0, s1 = fused_stems(x, *args)
+            return {
+                "prev_prev": s0,
+                "prev": s1,
+                "x": None,
+                "dense": (),
+                "low_level": None,
+            }
+        return self.model.apply(variables, x, False, method="stem_state")
 
     # ------------------------------------------------------------ programs
     #
@@ -95,9 +123,7 @@ class DynamicInferenceEngine:
             def decide(variables, edm_variables, x_or_state):
                 state = x_or_state
                 if k == 0:
-                    state = self.model.apply(
-                        variables, state, False, method="stem_state"
-                    )
+                    state = self._stem_state(variables, state)
                 state = self.model.apply(
                     variables, state, start, e, False, method="run_cells"
                 )
@@ -122,9 +148,7 @@ class DynamicInferenceEngine:
             def final(variables, edm_variables, state):
                 del edm_variables
                 if len(self.exits) == 1:
-                    state = self.model.apply(
-                        variables, state, False, method="stem_state"
-                    )
+                    state = self._stem_state(variables, state)
                 state = self.model.apply(
                     variables, state, start, e, False, method="run_cells"
                 )
@@ -339,7 +363,7 @@ class DynamicInferenceEngine:
                     exit_pred(conf, threshold), take_exit, descend, state
                 )
 
-            state = model.apply(variables, x, False, method="stem_state")
+            state = self._stem_state(variables, x)
             return stage(0, state, threshold)
 
         self._programs[key] = self._bind(program)

@@ -6,32 +6,42 @@ the early-exit fast path the EDM enables). Extra fields report the
 full-depth dynamic path and the all-exits static forward, so the FLOPs
 savings of early exit are visible (reference: eval.py:195-230).
 
+Timing is DEVICE time from jax.profiler traces, validated against matmul
+physics (a 4096^3 bf16 matmul measures 0.76 ms = 182 TF/s on v5e, 92% of
+peak). Host wall clocks are untrustworthy here: dispatch is asynchronous
+(block_until_ready returns before the device finishes) and the relay
+de-duplicates identical in-flight executions, so wall-based "latencies"
+can read 50x better than physics allows.
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio of early-exit to full-depth throughput (the speedup early exit buys).
 """
 import json
-import time
+import os
+import sys
 
 import jax
+
+# Persistent compile cache: the fused dynamic program takes minutes to
+# compile on a remote-relay TPU; cache it across processes.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/add_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
-
-def _timed(fn, *args, iters=10):
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
 
 
 def main():
     from auto_dynamic_deeplab_tpu.models import ADD
     from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
     from auto_dynamic_deeplab_tpu.train.dynamic import DynamicInferenceEngine
+    from trace_measure import trace_and_sum
 
     cfg = NETWORK_ARCH[2]
     model = ADD(
@@ -51,18 +61,18 @@ def main():
     # single-program lax.cond dynamic inference: the exit decision runs on
     # device; untaken branches are skipped by HLO Conditional.
     def early(x):  # permissive threshold → exit at the first station
-        return program(x, jnp.float32(2.0))[0]
+        return program(x, jnp.float32(2.0))
 
     def full(x):  # impossible threshold → full depth
-        return program(x, jnp.float32(-1.0))[0]
+        return program(x, jnp.float32(-1.0))
 
     # Weights as jit ARGUMENTS (not closed-over constants): remote-relay
     # runtimes re-upload embedded constants every execution (~46 MB here).
     fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
 
-    t_early = _timed(early, x)
-    t_full = _timed(full, x)
-    t_fwd = _timed(fwd, variables, x)
+    t_early = trace_and_sum(early, x, runs=8)["total_ms"] / 1000.0
+    t_full = trace_and_sum(full, x, runs=8)["total_ms"] / 1000.0
+    t_fwd = trace_and_sum(fwd, variables, x, runs=8)["total_ms"] / 1000.0
 
     print(
         json.dumps(
@@ -75,7 +85,7 @@ def main():
                 "full_depth_latency_ms": round(t_full * 1000, 2),
                 "all_exits_forward_ms": round(t_fwd * 1000, 2),
                 "device": str(jax.devices()[0]),
-                "note": "single-program lax.cond dynamic inference; vs_baseline = full-depth/early-exit speedup; reference publishes no numbers (BASELINE.md)",
+                "note": "device-time via jax.profiler trace (host wall clocks lie on relays); single-program lax.cond dynamic inference; vs_baseline = full-depth/early-exit speedup; reference publishes no numbers (BASELINE.md)",
             }
         )
     )

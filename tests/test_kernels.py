@@ -2,6 +2,8 @@
 on the real chip by bench/verify drives)."""
 import math
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,3 +34,36 @@ def test_entropy_argmax_padding_exact_block(rng):
     ent_r, arg_r = entropy_argmax_reference(x, 19)
     assert abs(float(ent_p[0]) - float(ent_r[0])) < 1e-5
     np.testing.assert_array_equal(np.asarray(arg_p), np.asarray(arg_r))
+
+
+class TestFusedStems:
+    """Pallas fused-stems kernel vs the XLA _Stems module (interpret mode)."""
+
+    @pytest.mark.parametrize("hw", [(65, 97), (33, 33), (66, 98)])
+    def test_matches_xla_stems(self, hw):
+        from auto_dynamic_deeplab_tpu.kernels.stems import (
+            fold_stem_bns,
+            fused_stems,
+        )
+        from auto_dynamic_deeplab_tpu.models.decoded import _Stems
+
+        H, W = hw
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+        stems = _Stems(dtype=jnp.bfloat16)
+        variables = stems.init(jax.random.PRNGKey(0), x, False)
+        # non-trivial running stats so the BN folding is actually exercised
+        bs = jax.tree.map(
+            lambda a: a + jnp.asarray(rng.rand(*a.shape), jnp.float32) * 0.3,
+            variables["batch_stats"],
+        )
+        variables = {"params": variables["params"], "batch_stats": bs}
+        s0_ref, s1_ref = stems.apply(variables, x, False)
+        args = fold_stem_bns(variables["params"], variables["batch_stats"])
+        s0_k, s1_k = fused_stems(x, *args, interpret=True)
+        assert s0_k.shape == s0_ref.shape and s1_k.shape == s1_ref.shape
+        for name, a, b in (("s0", s0_ref, s0_k), ("s1", s1_ref, s1_k)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 0.02, (name, rel)
