@@ -204,9 +204,14 @@ class DecodedNet(nn.Module):
             return state["x"]
         return state["prev"]
 
-    def exit_logits(self, state: dict, i: int, size, train: bool = False) -> jnp.ndarray:
+    def exit_logits(
+        self, state: dict, i: int, size, train: bool = False,
+        class_leading: bool = False,
+    ) -> jnp.ndarray:
         """Shared-head classification at exit layer i (ADD.py:316-324).
-        ``size`` is the static input (H, W) the logits are upsampled to."""
+        ``size`` is the static input (H, W) the logits are upsampled to.
+        ``class_leading`` returns (N, C, H, W) — the reference's torch
+        layout — skipping the lane-padded full-res NHWC materialization."""
         arch = self.network_arch
         scale = 2.0 ** -(arch[-1] + 2)
         aspp_hw = (scale_dimension(size[0], scale), scale_dimension(size[1], scale))
@@ -217,7 +222,7 @@ class DecodedNet(nn.Module):
         if i in self._adapter_index:
             y = self.conv_aspp[self._adapter_index[i]](y, train)
         y = self.aspp(y, train)
-        return self.decoder(y, state["low_level"], size, train)
+        return self.decoder(y, state["low_level"], size, train, class_leading)
 
     # ------------------------------------------------------------- programs
 

@@ -8,7 +8,7 @@ from flax import linen as nn
 
 from .norm import BatchNorm
 from .primitives import conv2d, kaiming_normal
-from .resize import resize_bilinear
+from .resize import resize_bilinear, resize_bilinear_cl
 
 
 class DecoderHead(nn.Module):
@@ -24,7 +24,12 @@ class DecoderHead(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, low_level: jnp.ndarray, size, train: bool
+        self,
+        x: jnp.ndarray,
+        low_level: jnp.ndarray,
+        size,
+        train: bool,
+        class_leading: bool = False,
     ) -> jnp.ndarray:
         if x.shape[1:3] != low_level.shape[1:3]:
             x = resize_bilinear(x, low_level.shape[1:3], align_corners=False)
@@ -53,6 +58,10 @@ class DecoderHead(nn.Module):
         # Training keeps fp32 logits for loss-grade numerics.
         if not train and self.dtype is not None:
             x = x.astype(self.dtype)
+        if class_leading:
+            # (N, C, H, W) logits — the reference's torch layout; avoids the
+            # 19-lane-padded full-res NHWC traffic (see resize_bilinear_cl).
+            return resize_bilinear_cl(x, size, align_corners=False)
         return resize_bilinear(x, size, align_corners=False)
 
 

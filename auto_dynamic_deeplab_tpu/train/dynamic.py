@@ -97,11 +97,15 @@ class DynamicInferenceEngine:
             )
             return self.edm.apply(edm_variables, feature)[:, 0], None
         logits = self.model.apply(
-            variables, state, exit_layer, size, False, method="exit_logits"
-        )
+            variables, state, exit_layer, size, False, True,
+            method="exit_logits",
+        )  # (N, C, H, W) — reference torch layout, lane-efficient
         if confidence == "entropy":
-            return normalized_shannon_entropy(logits, self.num_classes), logits
-        return confidence_max(logits, threshold), logits
+            return (
+                normalized_shannon_entropy(logits, self.num_classes, class_axis=1),
+                logits,
+            )
+        return confidence_max(logits, threshold, class_axis=1), logits
 
     def _bind(self, fn) -> Callable:
         """Partially apply the weight pytrees at call time (NOT trace time)."""
@@ -153,7 +157,8 @@ class DynamicInferenceEngine:
                     variables, state, start, e, False, method="run_cells"
                 )
                 return self.model.apply(
-                    variables, state, e, size, False, method="exit_logits"
+                    variables, state, e, size, False, True,
+                    method="exit_logits",
                 )
 
             self._programs[key] = self._bind(final)
@@ -167,7 +172,7 @@ class DynamicInferenceEngine:
             def head(variables, edm_variables, state):
                 del edm_variables
                 return self.model.apply(
-                    variables, state, exit_layer, size, False,
+                    variables, state, exit_layer, size, False, True,
                     method="exit_logits",
                 )
 
@@ -203,9 +208,10 @@ class DynamicInferenceEngine:
         threshold: float = 0.0,
         confidence: str = "edm",
     ):
-        """Single input (batch 1). Returns (logits, exit_index, latency_s,
-        confidence_value). Timing brackets device work via block_until_ready
-        (reference: cuda.synchronize + perf_counter, ADD.py:380-437)."""
+        """Single input (batch 1). Returns (logits (N, C, H, W) — the
+        reference's torch layout — exit_index, latency_s, confidence_value).
+        Timing brackets device work via block_until_ready (reference:
+        cuda.synchronize + perf_counter, ADD.py:380-437)."""
         x = jnp.asarray(x)
         size = tuple(x.shape[1:3])
         jax.block_until_ready(x)
@@ -247,7 +253,7 @@ class DynamicInferenceEngine:
         that exit are finalized; the continuing subset is gathered into the
         smallest padded bucket (static shapes) before later segments run.
 
-        Returns (logits (N,H,W,C) fp32, exit_index (N,) int).
+        Returns (logits (N, C, H, W) fp32, exit_index (N,) int).
         """
         n = x.shape[0]
         size = tuple(x.shape[1:3])
@@ -323,8 +329,9 @@ class DynamicInferenceEngine:
 
             def head(state, e):
                 return model.apply(
-                    variables, state, e, size, False, method="exit_logits"
-                )
+                    variables, state, e, size, False, True,
+                    method="exit_logits",
+                )  # (N, C, H, W)
 
             def conf_of(state, e, threshold):
                 if confidence == "edm":
@@ -333,10 +340,12 @@ class DynamicInferenceEngine:
                 logits = head(state, e)
                 if confidence == "entropy":
                     return (
-                        normalized_shannon_entropy(logits, self.num_classes)[0],
+                        normalized_shannon_entropy(
+                            logits, self.num_classes, class_axis=1
+                        )[0],
                         logits,
                     )
-                return confidence_max(logits, threshold)[0], logits
+                return confidence_max(logits, threshold, class_axis=1)[0], logits
 
             def stage(k, state, threshold):
                 """Cells up to exit k, then cond(exit here, descend deeper)."""

@@ -107,7 +107,7 @@ class Evaluation:
                         x, threshold=threshold, confidence=confidence
                     )
                     first = False
-                pred = np.asarray(jnp.argmax(logits, axis=-1))[0]
+                pred = np.asarray(jnp.argmax(logits, axis=1))[0]  # NCHW logits
                 evaluator.add_batch(labels[i], pred)
                 latency.update(dt)
                 if not np.isnan(conf):

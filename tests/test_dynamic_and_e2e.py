@@ -48,15 +48,18 @@ def test_segmented_equals_whole_graph(rng, model_and_vars):
     # never exit early (entropy threshold below any possible value)
     logits, exit_idx, dt, conf = engine.infer(x, threshold=-1.0, confidence="entropy")
     assert exit_idx == len(model.exit_layers) - 1
+    # engine logits are (N, C, H, W) — the reference's torch layout
     np.testing.assert_allclose(
-        np.asarray(logits), np.asarray(whole[-1]), rtol=1e-4, atol=1e-4
+        np.moveaxis(np.asarray(logits), 1, -1), np.asarray(whole[-1]),
+        rtol=1e-4, atol=1e-4,
     )
 
     # always exit at the first exit (threshold above max entropy 1.0)
     logits0, exit_idx0, _, conf0 = engine.infer(x, threshold=2.0, confidence="entropy")
     assert exit_idx0 == 0
     np.testing.assert_allclose(
-        np.asarray(logits0), np.asarray(whole[0]), rtol=1e-4, atol=1e-4
+        np.moveaxis(np.asarray(logits0), 1, -1), np.asarray(whole[0]),
+        rtol=1e-4, atol=1e-4,
     )
     assert dt > 0 and 0 <= conf0 <= 1
 
