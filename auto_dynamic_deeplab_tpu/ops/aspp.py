@@ -124,6 +124,20 @@ class _ShiftedDilatedConv3x3(nn.Module):
         return acc.astype(x.dtype)
 
 
+class _Conv3x3Kernel(nn.Module):
+    """Param holder with nn.Conv-compatible path/shape/init (no compute)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", kaiming_normal, (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+
+
 class ASPPTrain(nn.Module):
     """5-branch ASPP used by decoded models (aspp_train.py:8-61).
 
@@ -142,29 +156,76 @@ class ASPPTrain(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         x = nn.relu(x)
+        n, h, w, cin = x.shape
 
         def branch(name, kernel, dilation):
             pad = dilation if kernel == 3 else 0
-            # Large dilations use the shifted-matmul form; XLA's conv only
-            # handles small ones well (profiled on v5e at 65x129: d=6 conv
-            # 112 us, d=12 conv 704 us vs 344 us shifted).
-            if kernel == 3 and 2 * dilation + 1 >= min(x.shape[1:3]) // 4:
-                y = _ShiftedDilatedConv3x3(
-                    features=self.depth, dilation=dilation,
-                    dtype=self.dtype, name=f"{name}_conv",
-                )(x)
-            else:
-                y = conv2d(
-                    self.depth, kernel, padding=pad, dilation=dilation,
-                    dtype=self.dtype, name=f"{name}_conv",
-                )(x)
+            y = conv2d(
+                self.depth, kernel, padding=pad, dilation=dilation,
+                dtype=self.dtype, name=f"{name}_conv",
+            )(x)
             y = BatchNorm(name=f"{name}_bn", **kw)(y, train)
             return nn.relu(y)
 
+        # Large dilations use the shifted-matmul form; XLA's conv only
+        # handles small ones well (profiled on v5e at 65x129: d=6 conv
+        # 112 us, d=12 conv 704 us vs 344 us shifted). All shifted branches
+        # share ONE matmul over the virtual concat of their kernels.
+        dils = {"aspp2": int(6 * self.mult), "aspp3": int(12 * self.mult),
+                "aspp4": int(18 * self.mult)}
+        shifted = {
+            nm: d for nm, d in dils.items()
+            if 2 * d + 1 >= min(h, w) // 4
+        }
+        outs = {}
+        if len(shifted) >= 2:
+            ks = [
+                _Conv3x3Kernel(
+                    features=self.depth, in_features=cin, name=f"{nm}_conv"
+                )()
+                for nm in shifted
+            ]
+            K = jnp.concatenate(
+                [k.transpose(2, 0, 1, 3).reshape(cin, 9 * self.depth) for k in ks],
+                axis=1,
+            )
+            xc = x if self.dtype is None else x.astype(self.dtype)
+            Kc = K if self.dtype is None else K.astype(self.dtype)
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if xc.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+            taps = jax.lax.dot_general(
+                xc.reshape(-1, cin), Kc, (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32,
+            ).reshape(n, h, w, len(shifted), 9, self.depth)
+            for bi, (nm, d) in enumerate(shifted.items()):
+                acc = None
+                for i in range(3):
+                    for j in range(3):
+                        t = _shift2d(
+                            taps[:, :, :, bi, 3 * i + j, :],
+                            (i - 1) * d, (j - 1) * d,
+                        )
+                        acc = t if acc is None else acc + t
+                y = acc.astype(xc.dtype)
+                y = BatchNorm(name=f"{nm}_bn", **kw)(y, train)
+                outs[nm] = nn.relu(y)
+        elif len(shifted) == 1:
+            nm, d = next(iter(shifted.items()))
+            y = _ShiftedDilatedConv3x3(
+                features=self.depth, dilation=d,
+                dtype=self.dtype, name=f"{nm}_conv",
+            )(x)
+            y = BatchNorm(name=f"{nm}_bn", **kw)(y, train)
+            outs[nm] = nn.relu(y)
+        for nm, d in dils.items():
+            if nm not in outs:
+                outs[nm] = branch(nm, 3, d)
+
         x1 = branch("aspp1", 1, 1)
-        x2 = branch("aspp2", 3, int(6 * self.mult))
-        x3 = branch("aspp3", 3, int(12 * self.mult))
-        x4 = branch("aspp4", 3, int(18 * self.mult))
+        x2, x3, x4 = outs["aspp2"], outs["aspp3"], outs["aspp4"]
 
         x5 = jnp.mean(x, axis=(1, 2), keepdims=True)
         x5 = conv2d(self.depth, 1, dtype=self.dtype, name="aspp5_conv")(x5)
