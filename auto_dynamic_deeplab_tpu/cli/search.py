@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--exit-layers", type=int, nargs="+", default=None,
                    help="override exit stations (default: C-derived)")
+    p.add_argument("--no-dp", action="store_true",
+                   help="disable data-parallel search even with >1 device "
+                        "(default: shard over all devices, mirroring "
+                        "search.py:144-149 DataParallel+SyncBN)")
     return p
 
 
@@ -52,24 +56,36 @@ def main(argv=None):
         synthetic_crop=tuple(args.synthetic_crop),
     )
 
+    # Data-parallel search over all local devices (search.py:144-149 runs
+    # search under DataParallel+SyncBN): shard_map bilevel steps + BN psum.
+    import jax
+
+    from ..parallel.mesh import DATA_AXIS, make_mesh
+
+    mesh = None
+    axis_name = None
+    if not args.no_dp and jax.device_count() > 1:
+        mesh = make_mesh()
+        axis_name = DATA_AXIS
+
     exits = tuple(args.exit_layers or search_c_index(args.C))
     if args.network == "supernet":
         model = ModelSearch(
             nclass, num_layers=args.num_layers, F=args.F, B=args.B,
-            exit_layer=exits[0], remat=not args.no_remat,
+            exit_layer=exits[0], remat=not args.no_remat, axis_name=axis_name,
         )
     elif args.network == "baseline_path":
         # 2-exit fixed-station variant (search_layer.py, broken in the ref)
         genotype = np.load(args.genotype) if args.genotype else AUTODEEPLAB_GENOTYPE
         model = ModelBaselinePathSearch(
             nclass, genotype, num_layers=args.num_layers, F=args.F, B=args.B,
-            exit_layer=exits[0], remat=not args.no_remat,
+            exit_layer=exits[0], remat=not args.no_remat, axis_name=axis_name,
         )
     else:
         genotype = np.load(args.genotype) if args.genotype else AUTODEEPLAB_GENOTYPE
         model = ModelNetSearch(
             nclass, genotype, num_layers=args.num_layers, F=args.F, B=args.B,
-            C_index=exits, remat=not args.no_remat,
+            C_index=exits, remat=not args.no_remat, axis_name=axis_name,
         )
 
     cfg = SearchConfig(
@@ -85,7 +101,9 @@ def main(argv=None):
         dataset=args.dataset,
         checkname=args.checkname or f"search_{args.network}_F{args.F}",
     )
-    trainer = SearchTrainer(model, loader_a, loader_b, val_loader, cfg, seed=args.seed)
+    trainer = SearchTrainer(
+        model, loader_a, loader_b, val_loader, cfg, seed=args.seed, mesh=mesh
+    )
     result = trainer.fit()
     decoded = trainer.decode_and_save(cfg.epochs)
     print("decoded path:", decoded["path"].tolist())

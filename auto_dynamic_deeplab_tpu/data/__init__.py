@@ -71,11 +71,11 @@ def make_data_loader(
         val_set = VOCSegmentation(root, "val")
     elif "cityscapes" in dataset:
         root = root or DEFAULT_ROOTS["cityscapes"]
+        val_set = CityscapesSegmentation(root, "val")
         if edm or dataset == "cityscapes_edm":
             train_set = CityscapesSegmentation(root, "train", full=True)
         elif supernet:
             set_a, set_b = two_train_seg(root, seed=seed)
-            val_set = CityscapesSegmentation(root, "val")
             kw = dict(num_workers=num_workers, seed=seed, shard=shard)
             return (
                 DataLoader(set_a, batch_size, **kw),
@@ -85,7 +85,6 @@ def make_data_loader(
             )
         else:
             train_set = CityscapesSegmentation(root, "train", crop_size=crop_size)
-        val_set = CityscapesSegmentation(root, "val")
     else:
         raise NotImplementedError(dataset)
 

@@ -228,7 +228,7 @@ def fused_stems(
     TS1 = 2
     TS0 = 2 * TS1
     NA0 = TS0 + 3
-    NR = 2 * NA0 + 2          # x rows per tile (8-aligned: 24 for TS1=4)
+    NR = 2 * NA0 + 2          # x rows per tile (8-aligned: 16 for TS1=2)
     assert NR % 8 == 0
     grid = pl.cdiv(H1, TS1)
 

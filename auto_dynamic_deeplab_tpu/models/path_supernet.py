@@ -6,8 +6,8 @@ ModelNetSearch     → modeling/model_net_search.py Model_net_search (path-only
                      search with fixed cells, C_index exits, shared heads)
 ModelBaselinePathSearch → modeling/model_baseline_path_search.py
                      Model_layer_search_baseline (path-only, fixed exit
-                     station 5, shared heads; the reference's non-dense
-                     variant is approximated by the same trellis)
+                     station 5, shared heads, NON-dense trellis — s0 is the
+                     same-level output from two layers back, no dense taps)
 """
 from __future__ import annotations
 
@@ -77,5 +77,6 @@ def ModelBaselinePathSearch(
         genotype=as_genotype_rows(cell_arch),
         exit_layers_cfg=(exit_layer,),
         shared_exit_heads=True,
+        dense=False,
         **kw,
     )

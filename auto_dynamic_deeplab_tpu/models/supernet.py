@@ -64,13 +64,23 @@ class TrellisSupernet(nn.Module):
     genotype: Optional[GenotypeRows] = None
     exit_layers_cfg: Tuple[int, ...] = (5,)  # early exit stations (+ final)
     shared_exit_heads: bool = True
+    # dense=False is the baseline trellis (model_baseline_path_search.py:
+    # 135-150): no dense_preprocess taps; s0 at layers >= 3 is the same-level
+    # output from two layers back (level_*[-2]) instead of a dense concat.
+    dense: bool = True
     remat: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @property
     def exit_stations(self) -> Tuple[int, ...]:
-        return tuple(self.exit_layers_cfg) + (self.num_layers - 1,)
+        # dedupe: a configured exit at the final layer IS the final exit
+        # (e.g. exit_layers_cfg=(5,) with num_layers=6)
+        out: List[int] = []
+        for s in tuple(self.exit_layers_cfg) + (self.num_layers - 1,):
+            if s not in out:
+                out.append(s)
+        return tuple(out)
 
     def setup(self):
         F, B, L = self.F, self.B, self.num_layers
@@ -120,11 +130,17 @@ class TrellisSupernet(nn.Module):
                     cell(F * 8, True, False, False, 0.25, name=f"{tag}_c3"),
                 ])
             else:
+                # Non-dense at i==3: the level-32 cell's s0 is l16 from layer
+                # 1 (stride 16 → 32), needing a stride-2 pre-reduce. The
+                # reference constructs rate 0.25 there yet feeds a stride-16
+                # tensor (model_baseline_path_search.py:232-236 vs :444-448)
+                # — an untested-path defect; we use the coherent 0.5.
+                l32_pre = 0.5 if (not self.dense and i == 3) else 1.0
                 cells.append([
                     cell(F, False, True, True, 1.0, name=f"{tag}_c0"),
                     cell(F * 2, True, True, True, 1.0, name=f"{tag}_c1"),
                     cell(F * 4, True, True, True, 1.0, name=f"{tag}_c2"),
-                    cell(F * 8, True, True, False, 1.0, name=f"{tag}_c3"),
+                    cell(F * 8, True, True, False, l32_pre, name=f"{tag}_c3"),
                 ])
         self.trellis = cells
 
@@ -132,7 +148,7 @@ class TrellisSupernet(nn.Module):
         # each level's output to F*fm channels (coarse levels synthesized by
         # reduction at layers 0/1 before those levels exist).
         dense = []
-        for i in range(L - 2):
+        for i in range(L - 2 if self.dense else 0):
             if i == 0:
                 mods = [
                     ReLUConvBN(features=F, kernel_size=1, **nf_kw),
@@ -193,6 +209,19 @@ class TrellisSupernet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
         L = self.num_layers
         size = x.shape[1:3]
+        # The search cell's upsample uses the reference's even-dim rule
+        # (cell_level_search.py:80-82 → scale_dimension_search): dims must
+        # stay ODD down the whole stride-4..32 chain or up/down branch
+        # outputs disagree by one pixel (the reference crashes identically).
+        # Valid crops satisfy (d-1) % 64 == 0: 65, 129, 321 (the reference's
+        # search crop), 769...
+        for d in size:
+            if (d - 1) % 64:
+                raise ValueError(
+                    f"supernet input dim {d} invalid: search crops need "
+                    f"(d-1) % 64 == 0 (e.g. 65, 129, 321) so every trellis "
+                    f"level has odd spatial size"
+                )
         nb = normalize_betas(self.betas.value.astype(jnp.float32))
         alphas = None
         if self.cell_kind == "mixed":
@@ -239,11 +268,18 @@ class TrellisSupernet(nn.Module):
                 n32 = nb[i, 2, 2] * e_down
                 news = [n4, n8, n16, n32]
             else:
-                last = i == L - 1
-                s0_4 = jnp.concatenate(d4 if last else d4[:-1], axis=-1)
-                s0_8 = jnp.concatenate(d8 if last else d8[:-1], axis=-1)
-                s0_16 = jnp.concatenate(d16 if last else d16[:-1], axis=-1)
-                s0_32 = jnp.concatenate(d32 if last else d32[:-1], axis=-1)
+                if self.dense:
+                    last = i == L - 1
+                    s0_4 = jnp.concatenate(d4 if last else d4[:-1], axis=-1)
+                    s0_8 = jnp.concatenate(d8 if last else d8[:-1], axis=-1)
+                    s0_16 = jnp.concatenate(d16 if last else d16[:-1], axis=-1)
+                    s0_32 = jnp.concatenate(d32 if last else d32[:-1], axis=-1)
+                else:
+                    # baseline: plain same-level history from two layers back
+                    # (model_baseline_path_search.py:434-476); at i==3 l32 has
+                    # a single entry, so its s0 is l16 from layer 1 (:444).
+                    s0_4, s0_8, s0_16 = l4[-2], l8[-2], l16[-2]
+                    s0_32 = l32[-2] if len(l32) >= 2 else l16[-2]
                 a_same, a_up = run(row[0], s0_4, None, l4[-1], l8[-1])
                 n4 = nb[i, 0, 1] * a_same + nb[i, 1, 0] * a_up
                 b_down, b_same, b_up = run(row[1], s0_8, l4[-1], l8[-1], l16[-1])
@@ -264,7 +300,7 @@ class TrellisSupernet(nn.Module):
                 l32.append(n32)
 
             # dense taps for layers 0..L-3 (model_search.py:205-208 etc.)
-            if i <= L - 3:
+            if self.dense and i <= L - 3:
                 mods = self.dense_preprocess[i]
                 src16 = n16 if n16 is not None else n8
                 src32 = n32 if n32 is not None else src16
@@ -273,8 +309,8 @@ class TrellisSupernet(nn.Module):
                 d16.append(mods[2](src16, train))
                 d32.append(mods[3](src32, train))
 
-            # trim history
-            keep = 2 if i < 3 else 1
+            # trim history (non-dense needs the [-2] entries at every layer)
+            keep = 2 if (i < 3 or not self.dense) else 1
             l4 = l4[-keep:]
             l8 = l8[-keep:]
             l16 = l16[-keep:]

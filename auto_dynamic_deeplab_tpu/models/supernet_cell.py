@@ -54,6 +54,12 @@ class MixedOp(nn.Module):
         self.pool_bns = pool_bns
 
     def __call__(self, x: jnp.ndarray, weights: jnp.ndarray, train: bool) -> jnp.ndarray:
+        if not train:
+            # Eval runs ONLY the argmax op, unweighted (cell_level_search.py:
+            # 24-29). One-hot weighting is numerically identical (weight 1.0
+            # on the argmax op, 0 elsewhere; argmax=='none' → exact zero) and
+            # keeps the program static for XLA.
+            weights = jnp.zeros_like(weights).at[jnp.argmax(weights)].set(1.0)
         out = None
         for i, op in enumerate(self.ops):
             if op is None:

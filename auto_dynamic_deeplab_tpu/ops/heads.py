@@ -21,6 +21,10 @@ class DecoderHead(nn.Module):
     num_classes: int
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # Parity-sensitive evaluation can force the fp32 logits pipeline (the
+    # bf16 eval fast path below shifts max logits by ~0.015, enough to flip
+    # argmax on near-tie pixels vs the reference's fp32 logits).
+    fp32_eval_logits: bool = False
 
     @nn.compact
     def __call__(
@@ -56,7 +60,7 @@ class DecoderHead(nn.Module):
         # cond copies) costs ~2.5 ms/image at 1025x2049 on v5e and bf16 halves
         # that HBM traffic (max logit delta ~0.015, entropy delta ~1e-5).
         # Training keeps fp32 logits for loss-grade numerics.
-        if not train and self.dtype is not None:
+        if not train and self.dtype is not None and not self.fp32_eval_logits:
             x = x.astype(self.dtype)
         if class_leading:
             # (N, C, H, W) logits — the reference's torch layout; avoids the

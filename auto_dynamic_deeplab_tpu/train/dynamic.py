@@ -54,16 +54,20 @@ class DynamicInferenceEngine:
         # Fused Pallas stems (kernels/stems.py): ~2.4 ms vs ~4.8 ms for the
         # XLA stems at 1025x2049 on v5e. TPU + bf16 eval path only.
         if use_pallas_stems == "auto":
+            # The Mosaic kernel uses TPU-only primitives (pltpu bitcast
+            # sublane packing, DMA): never auto-enable on GPU backends.
             self._pallas_stems = (
                 getattr(model, "dtype", None) == jnp.bfloat16
-                and jax.default_backend() not in ("cpu",)
+                and jax.default_backend() == "tpu"
             )
         else:
             self._pallas_stems = bool(use_pallas_stems)
 
     def _stem_state(self, variables, x):
         """Backbone stem state; routes to the fused Pallas kernel on TPU."""
-        if self._pallas_stems:
+        # fused_stems is a batch-1 program (it reads x[0]); batched inference
+        # takes the XLA stems instead of silently dropping samples.
+        if self._pallas_stems and x.shape[0] == 1:
             from ..kernels.stems import fold_stem_bns, fused_stems
 
             args = fold_stem_bns(

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.confidence import normalized_shannon_entropy
+from ..kernels.confidence import entropy_argmax
 from ..utils.meters import AverageMeter
 from ..utils.metrics import Evaluator
 from .dynamic import DynamicInferenceEngine
@@ -39,8 +39,15 @@ class Evaluation:
         @jax.jit
         def _forward(variables, x):
             outs = model.apply(variables, x, train=False)
-            preds = [jnp.argmax(o, axis=-1) for o in outs]
-            confs = [normalized_shannon_entropy(o, num_classes) for o in outs]
+            # Fused entropy+argmax (kernels/confidence.py): ONE pass over
+            # each full-res logits map on TPU batch-1 instead of separate
+            # softmax/log/reduce + argmax reads (~160 MB fp32 each at
+            # 1025x2049); jnp reference elsewhere.
+            preds, confs = [], []
+            for o in outs:
+                ent, arg = entropy_argmax(o, num_classes)
+                preds.append(arg)
+                confs.append(ent)
             return preds, confs
 
         self._forward = lambda x: _forward(self.variables, x)
@@ -48,6 +55,16 @@ class Evaluation:
             model, variables, edm=edm, edm_variables=edm_variables,
             num_classes=num_classes,
         )
+
+    def update_variables(self, variables, edm_variables=None):
+        """Swap in fresh weights WITHOUT rebuilding (all programs take the
+        weight pytrees as call-time arguments, so compiled XLA programs are
+        reused across validation epochs instead of being recompiled)."""
+        self.variables = variables
+        self.engine.variables = variables
+        if edm_variables is not None:
+            self.edm_variables = edm_variables
+            self.engine.edm_variables = edm_variables
 
     # ------------------------------------------------------------- static
 

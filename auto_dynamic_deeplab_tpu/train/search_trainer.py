@@ -22,7 +22,6 @@ from ..nas.decode import genotype_decode, viterbi_decode
 from ..utils.metrics import Evaluator
 from ..utils.saver import Saver
 from ..utils.summaries import TrainingSummary
-from .loss import multi_exit_cross_entropy
 from .schedules import lr_schedule
 
 
@@ -54,6 +53,7 @@ class SearchTrainer:
         class_weight: Optional[np.ndarray] = None,
         sample_input: Optional[np.ndarray] = None,
         seed: int = 0,
+        mesh=None,
     ):
         self.model = model
         self.loader_a = loader_a
@@ -83,45 +83,33 @@ class SearchTrainer:
             optax.sgd(learning_rate=schedule, momentum=config.momentum),
         )
         self.w_opt = self.w_tx.init(self.params)
-        self.a_tx = optax.adamw(
-            config.arch_lr, b1=0.9, b2=0.999, weight_decay=config.arch_weight_decay
-        )
+        # torch.optim.Adam semantics (search.py:99-102): L2-in-gradient, NOT
+        # AdamW's decoupled decay — see make_arch_optimizer.
+        from .step import make_arch_optimizer
+
+        self.a_tx = make_arch_optimizer(config.arch_lr, config.arch_weight_decay)
         self.a_opt = self.a_tx.init(self.arch)
 
+        # Data-parallel bilevel steps over the mesh (search.py:144-149 runs
+        # search under DataParallel+SyncBN; the model must be built with
+        # axis_name=DATA_AXIS when a mesh is passed). mesh=None → plain jit.
+        from .step import make_search_steps
+
+        self._weight_step, self._arch_step = make_search_steps(
+            model, self.w_tx, self.a_tx, mesh=mesh, class_weight=weight
+        )
+        from ..parallel.mesh import DATA_AXIS
+
+        self.n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+
+        # Built ONCE so validation epochs reuse the compiled program instead
+        # of rebuilding a fresh @jax.jit closure (and recompiling) each call.
         @jax.jit
-        def weight_step(params, batch_stats, arch, w_opt, batch):
-            def loss_fn(p):
-                outs, mutated = model.apply(
-                    {"params": p, "batch_stats": batch_stats, "arch": arch},
-                    batch["image"], train=True, mutable=["batch_stats"],
-                )
-                return (
-                    multi_exit_cross_entropy(outs, batch["label"], weight),
-                    mutated["batch_stats"],
-                )
+        def predict(variables, x):
+            outs = model.apply(variables, x, train=False)
+            return [jnp.argmax(o, axis=-1) for o in outs]
 
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, w_opt = self.w_tx.update(grads, w_opt, params)
-            return optax.apply_updates(params, updates), new_stats, w_opt, loss
-
-        @jax.jit
-        def arch_step(params, batch_stats, arch, a_opt, batch):
-            def loss_fn(a):
-                outs, mutated = model.apply(
-                    {"params": params, "batch_stats": batch_stats, "arch": a},
-                    batch["image"], train=True, mutable=["batch_stats"],
-                )
-                return (
-                    multi_exit_cross_entropy(outs, batch["label"], weight),
-                    mutated["batch_stats"],
-                )
-
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(arch)
-            updates, a_opt = self.a_tx.update(grads, a_opt, arch)
-            return optax.apply_updates(arch, updates), new_stats, a_opt, loss
-
-        self._weight_step = weight_step
-        self._arch_step = arch_step
+        self._predict = predict
 
         self.saver = Saver(config.run_dir, config.dataset, config.checkname)
         self.saver.save_experiment_config(dataclasses.asdict(config))
@@ -135,6 +123,8 @@ class SearchTrainer:
         iter_b = iter(self.loader_b)
         losses = []
         for batch in self.loader_a:
+            if batch["image"].shape[0] % self.n_shards:
+                continue  # ragged tail smaller than the mesh
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.params, self.batch_stats, self.w_opt, loss = self._weight_step(
                 self.params, self.batch_stats, self.arch, self.w_opt, batch
@@ -142,11 +132,13 @@ class SearchTrainer:
             losses.append(float(loss))
 
             if epoch >= self.config.alpha_epoch:
-                try:
-                    batch_b = next(iter_b)
-                except StopIteration:
-                    iter_b = iter(self.loader_b)
-                    batch_b = next(iter_b)
+                batch_b = None
+                while batch_b is None or batch_b["image"].shape[0] % self.n_shards:
+                    try:
+                        batch_b = next(iter_b)
+                    except StopIteration:
+                        iter_b = iter(self.loader_b)
+                        batch_b = next(iter_b)
                 batch_b = {k: jnp.asarray(v) for k, v in batch_b.items()}
                 self.arch, self.batch_stats, self.a_opt, _ = self._arch_step(
                     self.params, self.batch_stats, self.arch, self.a_opt, batch_b
@@ -167,13 +159,8 @@ class SearchTrainer:
             "arch": self.arch,
         }
 
-        @jax.jit
-        def predict(variables, x):
-            outs = self.model.apply(variables, x, train=False)
-            return [jnp.argmax(o, axis=-1) for o in outs]
-
         for batch in self.val_loader:
-            preds = predict(variables, jnp.asarray(batch["image"]))
+            preds = self._predict(variables, jnp.asarray(batch["image"]))
             for k in range(n_exits):
                 evaluators[k].add_batch(batch["label"], np.asarray(preds[k]))
         mious = [e.Mean_Intersection_over_Union() for e in evaluators]

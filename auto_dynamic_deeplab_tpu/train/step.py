@@ -47,6 +47,21 @@ def make_optimizer(
     return optax.chain(*parts)
 
 
+def make_arch_optimizer(
+    lr: float, weight_decay: float = 1e-3
+) -> optax.GradientTransformation:
+    """torch.optim.Adam parity for the architecture optimizer
+    (search.py:99-102): L2 decay is added to the raw gradient BEFORE the
+    Adam moment updates (not AdamW's decoupled decay — a different
+    trajectory for the alphas/betas)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    parts.append(optax.scale(-lr))
+    return optax.chain(*parts)
+
+
 def create_train_state(model, rng, sample_input, tx) -> TrainState:
     variables = model.init(rng, sample_input, train=True)
     params = variables["params"]
@@ -140,6 +155,81 @@ def make_single_device_train_step(
         )
 
     return jax.jit(body, donate_argnums=(0,))
+
+
+def _search_bodies(model, w_tx, a_tx, class_weight, axis_name: Optional[str]):
+    """Bilevel search step bodies (search.py:190-224). Each is one SPMD
+    shard's step when ``axis_name`` is set: per-shard grads are pmean'd, BN
+    statistics psum inside the model's BatchNorms (axis_name=DATA_AXIS), so
+    the sharded step is numerically the global-batch step."""
+
+    def weight_body(params, batch_stats, arch, w_opt, batch):
+        def loss_fn(p):
+            outs, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats, "arch": arch},
+                batch["image"], train=True, mutable=["batch_stats"],
+            )
+            return (
+                multi_exit_cross_entropy(outs, batch["label"], class_weight),
+                mutated["batch_stats"],
+            )
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, w_opt = w_tx.update(grads, w_opt, params)
+        return optax.apply_updates(params, updates), new_stats, w_opt, loss
+
+    def arch_body(params, batch_stats, arch, a_opt, batch):
+        def loss_fn(a):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats, "arch": a},
+                batch["image"], train=True, mutable=["batch_stats"],
+            )
+            return (
+                multi_exit_cross_entropy(outs, batch["label"], class_weight),
+                mutated["batch_stats"],
+            )
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(arch)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, a_opt = a_tx.update(grads, a_opt, arch)
+        return optax.apply_updates(arch, updates), new_stats, a_opt, loss
+
+    return weight_body, arch_body
+
+
+def make_search_steps(
+    model,
+    w_tx: optax.GradientTransformation,
+    a_tx: optax.GradientTransformation,
+    mesh=None,
+    class_weight: Optional[jnp.ndarray] = None,
+) -> Sequence[Callable]:
+    """(weight_step, arch_step) for stage-1 NAS search.
+
+    With ``mesh``, both bilevel steps are data-parallel shard_map programs
+    (the reference runs search under DataParallel+SyncBN, search.py:144-149;
+    stage 1 is the most memory/compute-hungry stage). The model must then be
+    constructed with axis_name=DATA_AXIS so BN stats psum across shards.
+    """
+    if mesh is None:
+        wb, ab = _search_bodies(model, w_tx, a_tx, class_weight, None)
+        return jax.jit(wb), jax.jit(ab)
+    wb, ab = _search_bodies(model, w_tx, a_tx, class_weight, DATA_AXIS)
+    in_specs = (P(), P(), P(), P(), P(DATA_AXIS))
+    out_specs = (P(), P(), P(), P())
+    steps = []
+    for body in (wb, ab):
+        sharded = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        steps.append(jax.jit(sharded))
+    return tuple(steps)
 
 
 def make_eval_step(model) -> Callable:

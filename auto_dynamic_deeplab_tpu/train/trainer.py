@@ -102,6 +102,7 @@ class Trainer:
             self.n_shards = 1
 
         self.start_epoch = 0
+        self._evaluation = None  # built lazily, reused across validations
         if config.resume:
             self._resume(config.resume, ft=config.ft)
 
@@ -155,12 +156,19 @@ class Trainer:
         return train_loss
 
     def validation(self, epoch: int) -> dict:
-        evaluation = Evaluation(
-            self.model,
-            {"params": self.state.params, "batch_stats": self.state.batch_stats},
-            num_classes=self.model.num_classes,
-        )
-        result = evaluation.validate(self.val_loader)
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        if self._evaluation is None:
+            # Built once; later epochs swap weights in and reuse the compiled
+            # programs (compiles are minutes on a relay).
+            self._evaluation = Evaluation(
+                self.model, variables, num_classes=self.model.num_classes
+            )
+        else:
+            self._evaluation.update_variables(variables)
+        result = self._evaluation.validate(self.val_loader)
         for k, miou in enumerate(result["miou"]):
             self.summary.add_scalar(f"val/mIoU_exit_{k}", miou, epoch)
             self.summary.add_scalar(

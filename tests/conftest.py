@@ -25,6 +25,38 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: each test gets the SAME stream every run, regardless
+    # of which other tests exist or run first. (A shared session-scoped
+    # stream made marginal-tolerance equivalence tests flip when unrelated
+    # tests were added ahead of them.)
     return np.random.RandomState(0)
+
+
+# ---------------------------------------------------------------- fast set
+# `pytest -m fast`: the sub-5-minute subset (host-side logic + small-compile
+# unit tests). The full suite is a ~30-min nightly on one CPU core; this
+# keeps a quick gate developers will actually run.
+_FAST_MODULES = {
+    "test_decode",
+    "test_metrics_loss_schedules",
+    "test_utils",
+    "test_data",
+    "test_native",
+    "test_resize",
+}
+_FAST_TESTS = {
+    "test_sgd_chain_matches_torch",
+    "test_arch_adam_chain_matches_torch",
+    "test_mixed_op_eval_argmax",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if (
+            item.module.__name__ in _FAST_MODULES
+            or item.name.split("[")[0] in _FAST_TESTS
+        ):
+            item.add_marker(pytest.mark.fast)

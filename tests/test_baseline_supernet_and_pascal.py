@@ -36,6 +36,28 @@ def test_baseline_path_search_two_exits_betas_only():
     assert [tuple(o.shape) for o in outs] == [(2, 65, 65, 19)] * 2
 
 
+def test_baseline_path_search_is_non_dense():
+    """The baseline trellis has NO dense connections
+    (model_baseline_path_search.py:135-150): no dense_preprocess modules in
+    the param pytree, unlike the dense ModelNetSearch."""
+    from auto_dynamic_deeplab_tpu.models import ModelNetSearch
+
+    mb = ModelBaselinePathSearch(
+        19, AUTODEEPLAB_GENOTYPE, num_layers=6, F=2, B=5, exit_layer=3, remat=False
+    )
+    vb = mb.init(jax.random.PRNGKey(0), X, train=True)
+    assert not any("dense_preprocess" in k for k in vb["params"])
+
+    md = ModelNetSearch(
+        19, AUTODEEPLAB_GENOTYPE, num_layers=6, F=2, B=5, C_index=(3,), remat=False
+    )
+    vd = md.init(jax.random.PRNGKey(0), X, train=True)
+    assert any("dense_preprocess" in k for k in vd["params"])
+    # fewer params without the dense taps
+    count = lambda v: sum(int(np.prod(a.shape)) for a in jax.tree.leaves(v["params"]))
+    assert count(vb) < count(vd)
+
+
 def test_baseline_path_search_beta_gradients():
     m = ModelBaselinePathSearch(
         19, AUTODEEPLAB_GENOTYPE, num_layers=6, F=2, B=5, exit_layer=3, remat=False

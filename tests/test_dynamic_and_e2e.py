@@ -69,10 +69,6 @@ def test_batched_bucketed_matches_per_image(rng, model_and_vars):
     x = jnp.asarray(rng.randn(4, 33, 33, 3), jnp.float32)
     engine = DynamicInferenceEngine(model, variables)
 
-    # mid threshold → mixed exits across the batch (entropy differs per image)
-    ents = []
-    for i in range(4):
-        _, _, _, c = engine.infer(x[i : i + 1], threshold=-1.0, confidence="entropy")
     # pick a threshold splitting the batch using first-exit entropies
     firsts = []
     for i in range(4):
@@ -173,6 +169,44 @@ def test_fused_cond_matches_segmented(rng, model_and_vars):
         )
         if expect_exit == 0:
             assert f_conf == pytest.approx(seg_conf, rel=1e-4)
+
+
+def test_pallas_stems_batch_fallback(rng, model_and_vars):
+    """use_pallas_stems=True with N>1 must take the XLA stems (fused_stems is
+    a batch-1 program that reads x[0]); without the guard this either crashes
+    (CPU: Mosaic won't lower) or silently drops samples 1..N-1."""
+    model, variables = model_and_vars
+    x = jnp.asarray(rng.randn(2, 33, 33, 3), jnp.float32)
+    plain = DynamicInferenceEngine(model, variables, use_pallas_stems=False)
+    forced = DynamicInferenceEngine(model, variables, use_pallas_stems=True)
+    assert forced._pallas_stems
+    ref_logits, ref_exit = plain.infer_batch(x, threshold=-1.0, confidence="entropy")
+    got_logits, got_exit = forced.infer_batch(x, threshold=-1.0, confidence="entropy")
+    np.testing.assert_array_equal(ref_exit, got_exit)
+    np.testing.assert_allclose(got_logits, ref_logits, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_stems_engine_interpret(rng):
+    """Batch-1 fused-stems path through the engine (interpret mode): the
+    kernel's bf16 stems feed the rest of the backbone and the result stays
+    close to the XLA bf16 path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = ADD(
+        _PATH, _C_INDEX, AUTODEEPLAB_GENOTYPE, 19,
+        F=2, B=5, low_level_layer=0, dtype=jnp.bfloat16,
+    )
+    x = jnp.asarray(rng.randn(1, 33, 33, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    plain = DynamicInferenceEngine(model, variables, use_pallas_stems=False)
+    fused = DynamicInferenceEngine(model, variables, use_pallas_stems=True)
+    ref = np.asarray(plain.infer(x, threshold=-1.0, confidence="entropy")[0], np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused.infer(x, threshold=-1.0, confidence="entropy")[0], np.float32
+        )
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.1, rel
 
 
 def test_programs_take_weights_as_arguments(model_and_vars):

@@ -66,6 +66,35 @@ def test_arch_gradients_nonzero():
     assert float(jnp.abs(g["betas"][0, 1:, :]).max()) == 0
 
 
+def test_mixed_op_eval_argmax():
+    """Eval runs ONLY the argmax op, unweighted (cell_level_search.py:24-29):
+    output is invariant to every non-argmax weight, ignores the argmax
+    weight's magnitude, and is exactly zero when argmax selects 'none'."""
+    from auto_dynamic_deeplab_tpu.models.supernet_cell import MixedOp
+
+    rng = np.random.RandomState(3)
+    op = MixedOp(C=4)
+    x = jnp.asarray(rng.randn(1, 9, 9, 4), jnp.float32)
+    w = jnp.asarray(jax.nn.softmax(jnp.asarray(rng.randn(8))))
+    v = op.init(jax.random.PRNGKey(0), x, w, True)
+
+    k = int(jnp.argmax(w))
+    out = op.apply(v, x, w, False)
+    # (a) independent of non-argmax weights
+    w2 = w.at[(k + 1) % 8].set(w[(k + 1) % 8] * 0.5)
+    w2 = jnp.where(jnp.arange(8) == k, w.max() + 1.0, w2)  # keep argmax at k
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(op.apply(v, x, w2, False)))
+    # (b) unweighted: explicit one-hot gives the same output
+    onehot = jnp.zeros(8).at[k].set(1.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(op.apply(v, x, onehot, False)))
+    # (c) argmax == 'none' (index 0) → exact zero (reference runs Zero)
+    w_none = jnp.zeros(8).at[0].set(5.0)
+    assert float(jnp.abs(op.apply(v, x, w_none, False)).max()) == 0.0
+    # (d) train mode still mixes: output differs from the argmax-only eval
+    out_train, _ = op.apply(v, x, w, True, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(out_train), np.asarray(out))
+
+
 def test_search_trainer_bilevel(tmp_path):
     m = ModelNetSearch(19, AUTODEEPLAB_GENOTYPE, num_layers=6, F=2, B=5,
                        C_index=(3,), remat=False)

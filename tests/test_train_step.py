@@ -73,6 +73,46 @@ def test_sharded_step_equals_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4)
 
 
+def test_sharded_search_steps_equal_single_device(rng):
+    """8-way data-parallel bilevel search steps == single-device steps on
+    the same global batch (search.py:144-149 runs search under
+    DataParallel+SyncBN; here grads pmean + BN psum over the mesh)."""
+    from auto_dynamic_deeplab_tpu.models import ModelNetSearch
+    from auto_dynamic_deeplab_tpu.train import make_search_steps
+    from auto_dynamic_deeplab_tpu.train.step import make_arch_optimizer
+
+    x = rng.randn(8, 17, 17, 3).astype(np.float32)
+    y = rng.randint(0, 19, size=(8, 17, 17)).astype(np.int32)
+    batch = {"image": jnp.asarray(x), "label": jnp.asarray(y)}
+
+    kw = dict(num_layers=6, F=2, B=5, C_index=(3,), remat=False)
+    single = ModelNetSearch(19, AUTODEEPLAB_GENOTYPE, **kw)
+    sharded = ModelNetSearch(19, AUTODEEPLAB_GENOTYPE, axis_name="data", **kw)
+
+    v = single.init(jax.random.PRNGKey(0), batch["image"][:1], train=True)
+    params, stats, arch = v["params"], v["batch_stats"], v["arch"]
+
+    w_tx = make_optimizer(lr_schedule("poly", 0.05, 10, 4), weight_decay=3e-4)
+    a_tx = make_arch_optimizer(3e-3, weight_decay=1e-3)
+    w_opt, a_opt = w_tx.init(params), a_tx.init(arch)
+
+    w1, a1 = make_search_steps(single, w_tx, a_tx)
+    w8, a8 = make_search_steps(sharded, w_tx, a_tx, mesh=make_mesh())
+
+    p1, st1, _, l1 = w1(params, stats, arch, w_opt, batch)
+    p8, st8, _, l8 = w8(params, stats, arch, w_opt, batch)
+    assert float(l1) == pytest.approx(float(l8), rel=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(st1), jax.tree_util.tree_leaves(st8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-4)
+
+    ar1, _, _, _ = a1(p1, st1, arch, a_opt, batch)
+    ar8, _, _, _ = a8(p8, st8, arch, a_opt, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(ar1), jax.tree_util.tree_leaves(ar8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=2e-3)
+
+
 def test_sgd_chain_matches_torch():
     w0 = np.array([1.5, -2.0, 0.5], np.float32)
     lr, momentum, wd = 0.05, 0.9, 4e-5
@@ -98,3 +138,43 @@ def test_sgd_chain_matches_torch():
         np.testing.assert_allclose(
             np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
         )
+
+
+def test_arch_adam_chain_matches_torch():
+    """make_arch_optimizer == torch.optim.Adam(weight_decay=wd): L2 decay is
+    added to the gradient BEFORE the Adam moments (search.py:99-102) — a
+    different trajectory from optax.adamw's decoupled decay."""
+    from auto_dynamic_deeplab_tpu.train.step import make_arch_optimizer
+
+    w0 = np.array([0.3, -1.2, 2.5], np.float32)
+    lr, wd = 3e-3, 1e-3
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=lr, betas=(0.9, 0.999), weight_decay=wd)
+
+    tx = make_arch_optimizer(lr, weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+
+    for i in range(8):
+        topt.zero_grad()
+        tloss = 0.5 * (tw ** 2).sum() + (tw * float(i)).sum()
+        tloss.backward()
+        topt.step()
+
+        grads = {"w": params["w"] + i}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6
+        )
+
+    # sanity: adamw (decoupled) diverges from this trajectory
+    txw = optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=wd)
+    pw = {"w": jnp.asarray(w0)}
+    sw = txw.init(pw)
+    for i in range(8):
+        up, sw = txw.update({"w": pw["w"] + i}, sw, pw)
+        pw = optax.apply_updates(pw, up)
+    assert not np.allclose(np.asarray(pw["w"]), np.asarray(params["w"]), atol=1e-7)
