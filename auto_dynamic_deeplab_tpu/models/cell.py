@@ -23,6 +23,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nas.genotypes import PRIMITIVES
+from ..ops.packed import (
+    packed_relu_conv_bn_1x1 as run_packed_relu_conv_bn_1x1,
+    run_packed_dag,
+    schedule_waves,
+)
 from ..ops.primitives import OPS, FactorizedReduce, ReLUConvBN
 from ..ops.resize import resize_bilinear, scale_dimension
 
@@ -62,6 +67,10 @@ class FixedCell(nn.Module):
     dense_in: bool = False
     dense_out: bool = False
     affine: bool = True
+    # Eval-only wave-packed DAG execution (ops/packed.py): independent ops
+    # concat along channels, BN folded, block-diag pointwise matmuls. Exact
+    # up to bf16 rounding of the folded scales; training stays unpacked.
+    packed_eval: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -94,6 +103,7 @@ class FixedCell(nn.Module):
             OPS[PRIMITIVES[op]](self.C_out, 1, **kw)
             for _, op in self.assignment
         ]
+        self.waves = schedule_waves(self.assignment, self.B)
 
     # Number of dense inputs; 0 when dense_in is False. Declared as a module
     # attribute so the param structure is fixed at construction.
@@ -115,32 +125,57 @@ class FixedCell(nn.Module):
         s1 = self.preprocess(s1, train)
         hw = s1.shape[1:3]
 
+        use_packed = (
+            self.packed_eval and not train and not self.is_initializing()
+        )
         if self.dense_in:
             assert len(s0) == self.num_dense_in, (len(s0), self.num_dense_in)
-            projected = []
-            for tap, proj in zip(s0, self.pre_preprocess):
-                if tap.shape[1:3] != hw:
-                    tap = resize_bilinear(tap, hw, align_corners=False)
-                projected.append(proj(tap, train))
-            s0 = self.pre_preprocess_1x1(
-                jnp.concatenate(projected, axis=-1), train
-            )
+            taps = [
+                tap if tap.shape[1:3] == hw
+                else resize_bilinear(tap, hw, align_corners=False)
+                for tap in s0
+            ]
+            if use_packed:
+                # all T tap projections as ONE block-diag 1x1 + the fuse 1x1
+                projected = run_packed_relu_conv_bn_1x1(
+                    taps, [m.variables for m in self.pre_preprocess], self.dtype
+                )
+                s0 = run_packed_relu_conv_bn_1x1(
+                    [projected], [self.pre_preprocess_1x1.variables], self.dtype
+                )
+            else:
+                projected = [
+                    proj(tap, train)
+                    for tap, proj in zip(taps, self.pre_preprocess)
+                ]
+                s0 = self.pre_preprocess_1x1(
+                    jnp.concatenate(projected, axis=-1), train
+                )
         else:
             if s0.shape[1] != s1.shape[1]:
                 s0 = resize_bilinear(s0, hw, align_corners=False)
             s0 = self.pre_preprocess(s0, train)
 
         states = [s0, s1]
-        selected = dict(self.assignment)
-        op_iter = iter(self.ops)
-        offset = 0
-        for _ in range(self.B):
-            block_inputs = []
-            for j, h in enumerate(states):
-                if (offset + j) in selected:
-                    block_inputs.append(next(op_iter)(h, train))
-            states.append(sum(block_inputs))
-            offset += len(states) - 1
+        if self.packed_eval and not train and not self.is_initializing():
+            states.extend(
+                run_packed_dag(
+                    s0, s1, self.waves,
+                    [op.variables for op in self.ops],
+                    self.B, self.dtype,
+                )
+            )
+        else:
+            selected = dict(self.assignment)
+            op_iter = iter(self.ops)
+            offset = 0
+            for _ in range(self.B):
+                block_inputs = []
+                for j, h in enumerate(states):
+                    if (offset + j) in selected:
+                        block_inputs.append(next(op_iter)(h, train))
+                states.append(sum(block_inputs))
+                offset += len(states) - 1
 
         concat = jnp.concatenate(states[-self.B :], axis=-1)
         if self.dense_out:

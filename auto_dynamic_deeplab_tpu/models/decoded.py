@@ -80,13 +80,23 @@ class DecodedNet(nn.Module):
     low_level_layer: int = 0
     dense: bool = True
     remat: bool = False  # checkpoint each cell: trade FLOPs for HBM in train
+    fp32_eval_logits: bool = False  # force fp32 logits at eval (parity mode)
+    # Wave-packed eval execution of the cell DAGs (ops/packed.py): channels
+    # of independent ops concat to full vector lanes, BN folded, ~3x fewer
+    # kernels. Training and init always use the unpacked modules.
+    packed_eval: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @property
     def exit_layers(self) -> Tuple[int, ...]:
         n = len(self.network_arch)
-        return tuple(self.C_index) + (n - 1,)
+        # dedupe: a C_index exit at the final layer IS the final exit
+        out = []
+        for s in tuple(self.C_index) + (n - 1,):
+            if s not in out:
+                out.append(s)
+        return tuple(out)
 
     def setup(self):
         arch = self.network_arch
@@ -115,6 +125,7 @@ class DecodedNet(nn.Module):
                     dense_in=dense_in,
                     dense_out=dense_out,
                     num_dense_in=(i - 1) if dense_in else 0,
+                    packed_eval=self.packed_eval,
                     name=f"cell_{i}",
                     **kw,
                 )
@@ -123,7 +134,11 @@ class DecodedNet(nn.Module):
 
         self.low_level_conv = LowLevelConv(**kw)
         self.aspp = ASPPTrain(out=256, mult=_aspp_mult(arch[-1]), **kw)
-        self.decoder = DecoderHead(num_classes=self.num_classes, **kw)
+        self.decoder = DecoderHead(
+            num_classes=self.num_classes,
+            fp32_eval_logits=self.fp32_eval_logits,
+            **kw,
+        )
 
         # Per-exit resolution/channel adapters (ADD.py:265-273), built only
         # for early exits whose level differs from the final level.
