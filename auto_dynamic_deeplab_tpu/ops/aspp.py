@@ -275,3 +275,46 @@ class ASPPSearch(nn.Module):
         y = conv2d(c, 1, dtype=self.dtype, name="concate_conv")(y)
         y = nn.relu(BatchNorm(name="concate_bn", **kw)(y, train))
         return conv2d(self.out, 1, dtype=self.dtype, name="final_conv")(y)
+
+
+class ASPPLite(nn.Module):
+    """ASPP_Lite (aspp_train.py:64-85) — the lightweight attention-gated
+    head (unused by the reference's main path, kept for full parity): a 1x1
+    ReLUConvBN trunk gated by a sigmoid attention branch (49x49 avg-pool at
+    stride (16,20) → 1x1 conv → sigmoid → upsample), upsampled 2x into a
+    classifier 1x1, summed with a low-level 1x1 classifier.
+    """
+
+    mid_channels: int
+    num_classes: int
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, low_level: jnp.ndarray, train: bool
+    ) -> jnp.ndarray:
+        from .primitives import ReLUConvBN
+
+        t1 = ReLUConvBN(
+            features=self.mid_channels, kernel_size=1,
+            axis_name=self.axis_name, dtype=self.dtype, name="tl",
+        )(x, train)
+        h, w = t1.shape[1:3]
+
+        # torch AvgPool2d(49, stride=[16,20]): no padding → VALID window
+        t2 = nn.avg_pool(x, (49, 49), strides=(16, 20), padding="VALID")
+        t2 = conv2d(self.mid_channels, 1, use_bias=True,
+                    dtype=self.dtype, name="bl_conv")(t2)
+        t2 = nn.sigmoid(t2)
+        t2 = resize_bilinear(t2, (h, w), align_corners=False)
+
+        t3 = t1 * t2
+        up = ((h - 1) * 2 + 1, (w - 1) * 2 + 1)  # (d-1)*2+1 odd-size chain
+        t3 = resize_bilinear(t3, up, align_corners=False)
+        t3 = conv2d(self.num_classes, 1, use_bias=True,
+                    dtype=self.dtype, name="tr_conv")(t3)
+
+        t4 = conv2d(self.num_classes, 1, use_bias=True,
+                    dtype=self.dtype, name="br_conv")(low_level)
+        return t3 + t4

@@ -2,9 +2,14 @@
 Cityscapes eval resolution (1025x2049, batch 1, bf16 compute).
 
 Headline: dynamic early-exit inference throughput (exit at the first exit —
-the early-exit fast path the EDM enables). Extra fields report the
-full-depth dynamic path and the all-exits static forward, so the FLOPs
-savings of early exit are visible (reference: eval.py:195-230).
+the fast path early exit buys). The extra fields bench the PRODUCT surface
+(reference: eval.py:195-230):
+  * EDM-gated dynamic inference with real EDM weights from a synthetic
+    stage-3 (make_edm_dataset + train_edm), early-exit and full-depth;
+  * an entropy-threshold sweep reporting exit-rate vs expected latency
+    (exit rates measured by running the fused program per image; expected
+    latency = rate-weighted mix of the measured per-exit device times);
+  * trace-based training throughput at 769x769 bf16 (the stage-2 config).
 
 Timing is DEVICE time from jax.profiler traces, validated against matmul
 physics (a 4096^3 bf16 matmul measures 0.76 ms = 182 TF/s on v5e, 92% of
@@ -14,8 +19,9 @@ de-duplicates identical in-flight executions, so wall-based "latencies"
 can read 50x better than physics allows.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio of early-exit to full-depth throughput (the speedup early exit buys).
+The reference publishes no numbers (BASELINE.md), so vs_baseline is NOT a
+reference comparison: it is the full-depth/early-exit device-time ratio
+(the speedup early exit buys) — see "vs_baseline_meaning".
 """
 import json
 import os
@@ -37,12 +43,35 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
 
 
+def _train_synthetic_edm(model, variables, rng):
+    """Real stage-3 EDM weights from a synthetic dataset: features/entropies
+    from the frozen backbone's first-exit program on synthetic images
+    (train_edm.py:146-185 pipeline, smaller corpus)."""
+    from auto_dynamic_deeplab_tpu.train.edm_trainer import (
+        make_edm_dataset,
+        train_edm,
+    )
+
+    images = [
+        {"image": rng.randn(1, 513, 1025, 3).astype(np.float32)} for _ in range(6)
+    ]
+    feats, ents = make_edm_dataset(model, variables, images)
+    return train_edm(feats, ents, epochs=60, batch_size=3)
+
+
 def main():
     from auto_dynamic_deeplab_tpu.models import ADD
     from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
+    from auto_dynamic_deeplab_tpu.train import (
+        create_train_state,
+        lr_schedule,
+        make_optimizer,
+        make_single_device_train_step,
+    )
     from auto_dynamic_deeplab_tpu.train.dynamic import DynamicInferenceEngine
     from trace_measure import trace_and_sum
 
+    rng = np.random.RandomState(0)
     cfg = NETWORK_ARCH[2]
     model = ADD(
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
@@ -51,15 +80,16 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3), jnp.float32), train=False
     )
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(1, 1025, 2049, 3).astype(np.float32)
-    )
+    xs = [
+        jnp.asarray(rng.randn(1, 1025, 2049, 3).astype(np.float32))
+        for _ in range(4)
+    ]
+    x = xs[0]
 
+    # ---- entropy-gated fused program: per-exit device times ---------------
     engine = DynamicInferenceEngine(model, variables)
     program = engine.fused_program((1025, 2049), confidence="entropy")
 
-    # single-program lax.cond dynamic inference: the exit decision runs on
-    # device; untaken branches are skipped by HLO Conditional.
     def early(x):  # permissive threshold → exit at the first station
         return program(x, jnp.float32(2.0))
 
@@ -74,6 +104,90 @@ def main():
     t_full = trace_and_sum(full, x, runs=8)["total_ms"] / 1000.0
     t_fwd = trace_and_sum(fwd, variables, x, runs=8)["total_ms"] / 1000.0
 
+    # ---- entropy threshold sweep: exit rate vs expected latency -----------
+    # Exit decisions per image per threshold from the fused program (cheap,
+    # no tracing); expected latency mixes the measured per-exit times.
+    ents = []
+    for xi in xs:
+        _, _, conf = jax.tree.map(np.asarray, program(xi, jnp.float32(-1.0)))
+        ents.append(float(conf))
+    qs = np.quantile(ents, [0.25, 0.5, 0.75])
+    sweep = []
+    thresholds = sorted({0.0, *[round(float(q), 4) for q in qs], 1.0})
+    for thr in thresholds:
+        exits = [
+            int(np.asarray(program(xi, jnp.float32(thr))[1])) for xi in xs
+        ]
+        rate = float(np.mean([e == 0 for e in exits]))
+        sweep.append(
+            {
+                "threshold": thr,
+                "early_exit_rate": rate,
+                "expected_latency_ms": round(
+                    (rate * t_early + (1 - rate) * t_full) * 1000, 2
+                ),
+            }
+        )
+
+    # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
+    edm, edm_vars, edm_loss = _train_synthetic_edm(model, variables, rng)
+    edm_engine = DynamicInferenceEngine(
+        model, variables, edm=edm, edm_variables=edm_vars
+    )
+    edm_prog = edm_engine.fused_program((1025, 2049), confidence="edm")
+    confs = [float(np.asarray(edm_prog(xi, jnp.float32(-1e9))[2])) for xi in xs]
+    thr_mix = float(np.median(confs))  # EDM exits when conf <= threshold
+    t_edm_early = (
+        trace_and_sum(lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=4)[
+            "total_ms"
+        ]
+        / 1000.0
+    )
+    t_edm_full = (
+        trace_and_sum(lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=4)[
+            "total_ms"
+        ]
+        / 1000.0
+    )
+    edm_rate = float(
+        np.mean(
+            [
+                int(np.asarray(edm_prog(xi, jnp.float32(thr_mix))[1])) == 0
+                for xi in xs
+            ]
+        )
+    )
+
+    # ---- training throughput: stage-2 step at 769x769 bf16 ----------------
+    train_model = ADD(
+        cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
+        F=20, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
+        remat=True,
+    )
+    bs = 8
+    tx = make_optimizer(lr_schedule("poly", 0.05, 100, 100), weight_decay=4e-5)
+    state = create_train_state(
+        train_model,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 769, 769, 3), jnp.float32),
+        tx,
+    )
+    step = make_single_device_train_step(train_model, tx)
+    batch = {
+        "image": jnp.asarray(rng.randn(bs, 769, 769, 3).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.randint(0, 19, size=(bs, 769, 769)).astype(np.int32)
+        ),
+    }
+    # the step donates its state argument: chain states across timed calls
+    holder = {"state": state}
+
+    def timed_step(_):
+        holder["state"], metrics = step(holder["state"], batch)
+        return metrics
+
+    t_train = trace_and_sum(timed_step, 0, runs=4)["total_ms"] / 1000.0
+
     print(
         json.dumps(
             {
@@ -81,11 +195,25 @@ def main():
                 "value": round(1.0 / t_early, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(t_full / t_early, 4),
+                "vs_baseline_meaning": "full-depth/early-exit device-time ratio (NOT a reference comparison; the reference publishes no numbers — BASELINE.md)",
                 "early_exit_latency_ms": round(t_early * 1000, 2),
                 "full_depth_latency_ms": round(t_full * 1000, 2),
                 "all_exits_forward_ms": round(t_fwd * 1000, 2),
+                "entropy_threshold_sweep": sweep,
+                "edm_gated": {
+                    "early_exit_latency_ms": round(t_edm_early * 1000, 2),
+                    "full_depth_latency_ms": round(t_edm_full * 1000, 2),
+                    "edm_train_l1_loss": round(edm_loss, 4),
+                    "median_threshold": round(thr_mix, 4),
+                    "exit_rate_at_median": edm_rate,
+                },
+                "train_769x769_bf16": {
+                    "batch": bs,
+                    "step_ms": round(t_train * 1000, 2),
+                    "images_per_sec_per_chip": round(bs / t_train, 2),
+                },
                 "device": str(jax.devices()[0]),
-                "note": "device-time via jax.profiler trace (host wall clocks lie on relays); single-program lax.cond dynamic inference; vs_baseline = full-depth/early-exit speedup; reference publishes no numbers (BASELINE.md)",
+                "note": "device-time via jax.profiler trace (host wall clocks lie on relays); single-program lax.cond dynamic inference",
             }
         )
     )

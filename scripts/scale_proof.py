@@ -1,0 +1,166 @@
+"""Scale proof on the real TPU chip (VERDICT r1 item 4).
+
+Nothing in round 1 ever ran at reference scale. This script compiles and
+traces, on the attached chip:
+
+  1. ONE stage-1 search-supernet step at the reference search config
+     (scripts/search_cityscapes.sh): 12-layer x 4-level trellis, F=20, B=5,
+     mixed cells (cell+path search), 321x321, bs >= 2, remat — the weight
+     step AND the arch (bilevel) step;
+  2. ONE stage-2 train step at the reference train config
+     (scripts/train_dist.sh): flagship ADD C=2 F=20, 769x769, target bs16
+     (4 GPUs x bs4 in the reference), falling back bs16 -> 8 -> 4 on OOM
+     with the failure recorded.
+
+Reports trace-based device step time and HBM memory stats per phase.
+Usage: python scripts/scale_proof.py [--out FILE]
+"""
+import argparse
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/add_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from trace_measure import trace_and_sum
+
+
+def _mem():
+    try:
+        s = jax.devices()[0].memory_stats()
+        return {
+            "bytes_in_use_gb": round(s.get("bytes_in_use", 0) / 2**30, 3),
+            "peak_bytes_in_use_gb": round(s.get("peak_bytes_in_use", 0) / 2**30, 3),
+            "bytes_limit_gb": round(s.get("bytes_limit", 0) / 2**30, 3),
+        }
+    except Exception as e:  # relay backends may not expose stats
+        return {"error": str(e)}
+
+
+def search_supernet_step(res=321, bs=2):
+    from auto_dynamic_deeplab_tpu.models import ModelSearch
+    from auto_dynamic_deeplab_tpu.train import lr_schedule, make_search_steps
+    from auto_dynamic_deeplab_tpu.train.step import make_arch_optimizer, make_optimizer
+
+    model = ModelSearch(19, num_layers=12, F=20, B=5, remat=True, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(bs, res, res, 3), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 19, (bs, res, res)), jnp.int32),
+    }
+    v = model.init(jax.random.PRNGKey(0), batch["image"][:1], train=True)
+    params, stats, arch = v["params"], v["batch_stats"], v["arch"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    w_tx = make_optimizer(lr_schedule("cos", 0.025, 300, 100, min_lr=0.003),
+                          weight_decay=3e-4)
+    a_tx = make_arch_optimizer(3e-3, weight_decay=1e-3)
+    w_opt, a_opt = w_tx.init(params), a_tx.init(arch)
+    w_step, a_step = make_search_steps(model, w_tx, a_tx)
+
+    p1, st1, w_opt, loss = w_step(params, stats, arch, w_opt, batch)
+    loss = float(loss)
+    t_w = trace_and_sum(
+        lambda: w_step(params, stats, arch, w_opt, batch), runs=3
+    )["total_ms"]
+    ar1, _, a_opt, aloss = a_step(p1, st1, arch, a_opt, batch)
+    t_a = trace_and_sum(
+        lambda: a_step(p1, st1, arch, a_opt, batch), runs=3
+    )["total_ms"]
+    assert np.isfinite(loss) and np.isfinite(float(aloss))
+    return {
+        "config": f"ModelSearch 12L F=20 B=5 mixed, {res}x{res} bs{bs}, remat, bf16",
+        "n_weight_params": n_params,
+        "weight_step_ms": round(t_w, 1),
+        "arch_step_ms": round(t_a, 1),
+        "weight_loss": round(loss, 4),
+        "imgs_per_sec_chip_weight_step": round(bs / (t_w / 1000.0), 2),
+        "memory": _mem(),
+    }
+
+
+def train_step_769(bs):
+    from auto_dynamic_deeplab_tpu.models import ADD
+    from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
+    from auto_dynamic_deeplab_tpu.train import (
+        create_train_state,
+        lr_schedule,
+        make_optimizer,
+        make_single_device_train_step,
+    )
+
+    cfg = NETWORK_ARCH[2]
+    model = ADD(
+        cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
+        F=20, B=5, low_level_layer=cfg["low_level_layer"],
+        dtype=jnp.bfloat16, remat=True,
+    )
+    tx = make_optimizer(lr_schedule("poly", 0.05, 2689, 100), weight_decay=4e-5)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 769, 769, 3), jnp.float32), tx
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(bs, 769, 769, 3), jnp.float32),
+        "label": jnp.asarray(rng.randint(0, 19, (bs, 769, 769)), jnp.int32),
+    }
+    step = make_single_device_train_step(model, tx)
+    holder = {"state": state}
+
+    def timed(_):
+        holder["state"], m = step(holder["state"], batch)
+        return m
+
+    loss = float(timed(0)["loss"])
+    t = trace_and_sum(timed, 0, runs=3)["total_ms"]
+    assert np.isfinite(loss)
+    return {
+        "config": f"ADD C=2 F=20 769x769 bs{bs}, remat, bf16",
+        "step_ms": round(t, 1),
+        "images_per_sec_per_chip": round(bs / (t / 1000.0), 2),
+        "loss": round(loss, 4),
+        "memory": _mem(),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--search-bs", type=int, default=2)
+    ap.add_argument("--train-bs", type=int, default=16)
+    args = ap.parse_args()
+
+    result = {"device": str(jax.devices()[0])}
+    try:
+        result["search_supernet_321"] = search_supernet_step(bs=args.search_bs)
+    except Exception as e:
+        result["search_supernet_321"] = {"error": f"{type(e).__name__}: {e}"[:2000]}
+
+    bs = args.train_bs
+    while bs >= 4:
+        try:
+            result[f"train_769_bs{bs}"] = train_step_769(bs)
+            break
+        except Exception as e:
+            result[f"train_769_bs{bs}"] = {"error": f"{type(e).__name__}: {e}"[:800]}
+            bs //= 2
+
+    text = json.dumps(result, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,8 +145,15 @@ def _convert(variables, network_arch, C_index, genotype, n):
     return sd.d
 
 
-@pytest.mark.parametrize("C", [2, 3])
-def test_add_logits_match_reference(C):
+# (C, (H, W)): 65x65 square cases plus one asymmetric odd full-res-shaped
+# case (97x193 ~ 1025x2049/10.6) where the resize/padding conventions of the
+# odd-size chain (769/1025/2049, (d-1)/2+1 downsampling) actually bite, and
+# the C=4 arch (three early exits, all at level 3 != final level 2, so every
+# exit goes through a conv_aspp adapter).
+@pytest.mark.parametrize(
+    "C,size", [(2, (65, 65)), (3, (65, 65)), (4, (97, 193))]
+)
+def test_add_logits_match_reference(C, size):
     from modeling.ADD import ADD as TorchADD
 
     cfg = NETWORK_ARCH[C]
@@ -154,7 +161,7 @@ def test_add_logits_match_reference(C):
     genotype = AUTODEEPLAB_GENOTYPE
 
     model = ADD(arch, C_index, genotype, 19, F=F_SMALL, B=B, low_level_layer=lll)
-    x = np.random.RandomState(0).randn(1, 65, 65, 3).astype(np.float32)
+    x = np.random.RandomState(0).randn(1, *size, 3).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     variables = _rand_stats(variables)
     ours = [np.asarray(o) for o in model.apply(variables, jnp.asarray(x), train=False)]
@@ -179,3 +186,109 @@ def test_add_logits_match_reference(C):
     for k, (a, b) in enumerate(zip(ours, theirs)):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3, err_msg=f"exit {k}")
+
+
+def test_aspp_lite_matches_reference():
+    """ASPPLite == torch ASPP_Lite (aspp_train.py:64-85) in eval mode."""
+    from modeling.aspp_train import ASPP_Lite as TorchASPPLite
+
+    from auto_dynamic_deeplab_tpu.ops.aspp import ASPPLite
+
+    cin, clow, mid, ncls = 32, 16, 24, 19
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 81, 89, cin).astype(np.float32)
+    low = rng.randn(1, 161, 177, clow).astype(np.float32)
+
+    model = ASPPLite(mid_channels=mid, num_classes=ncls)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(low), train=False
+    )
+    variables = _rand_stats(variables)
+    ours = np.asarray(
+        model.apply(variables, jnp.asarray(x), jnp.asarray(low), train=False)
+    )
+
+    tmodel = TorchASPPLite(cin, clow, mid, ncls, torch.nn.BatchNorm2d)
+    p, s = variables["params"], variables["batch_stats"]
+    sd = _StateDict()
+    sd.rcb("_1x1_TL", p["tl"], s["tl"])
+    sd.conv("_1x1_BL", p["bl_conv"])
+    sd.conv("_1x1_TR", p["tr_conv"])
+    sd.conv("_1x1_BR", p["br_conv"])
+    missing, unexpected = tmodel.load_state_dict(sd.d, strict=False)
+    assert not [m for m in missing if "num_batches_tracked" not in m]
+    assert not unexpected
+
+    tmodel.eval()
+    with torch.no_grad():
+        theirs = tmodel(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()),
+            torch.from_numpy(np.transpose(low, (0, 3, 1, 2)).copy()),
+        )
+    theirs = np.transpose(theirs.numpy(), (0, 2, 3, 1))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3)
+
+
+def test_dynamic_inference_behavior_vs_reference(monkeypatch):
+    """Behavioral comparison vs the torch ADD.dynamic_inference (EDM mode,
+    ADD.py:379-438), documenting the intentional aspp_size deviation:
+
+    * full depth (EDM confidence above threshold at every early exit): the
+      torch dynamic path decodes the final exit exactly like ADD.forward —
+      and like ours;
+    * early exit: torch computes aspp_size with 2^-level instead of the
+      actual stride 2^-(level+2) (ADD.py:383 vs :279), interpolating the
+      stride-16 feature to stride-4 before ASPP (16x the area) — its OWN
+      dynamic logits diverge from its OWN forward logits. We consistently
+      use the forward convention (models/decoded.py:14-17), so our exit-0
+      logits match torch's *forward*, not its defective dynamic path.
+    """
+    from modeling.ADD import ADD as TorchADD
+
+    path, C_index, lll = [1, 2, 2, 2, 3, 2], [1], 0
+    genotype = AUTODEEPLAB_GENOTYPE
+
+    model = ADD(path, C_index, genotype, 19, F=F_SMALL, B=B, low_level_layer=lll)
+    x = np.random.RandomState(1).randn(1, 65, 65, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    variables = _rand_stats(variables)
+    ours = [np.asarray(o) for o in model.apply(variables, jnp.asarray(x), train=False)]
+
+    args = types.SimpleNamespace(sync_bn=False, F=F_SMALL, B=B)
+    tmodel = TorchADD(list(path), list(C_index), np.asarray(genotype), 19, args, lll)
+    sd = _convert(
+        variables, path, C_index, [(int(e), int(o)) for e, o in genotype], len(path)
+    )
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    assert not [m for m in missing if "num_batches_tracked" not in m]
+    assert not unexpected
+
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda: None)
+    tmodel.eval()
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+    with torch.no_grad():
+        t_fwd = [t.numpy() for t in tmodel(tx)]
+        # stub EDMs: constant confidence; torch continues while conf > T
+        t_full, exit_full, _, _ = tmodel.dynamic_inference(
+            tx, threshold=1.0, confidence="edm", edm=lambda y: torch.tensor(2.0)
+        )
+        t_early, exit_early, _, _ = tmodel.dynamic_inference(
+            tx, threshold=1.0, confidence="edm", edm=lambda y: torch.tensor(0.0)
+        )
+    t_full, t_early = t_full.numpy(), t_early.numpy()
+    assert exit_full == 0 and exit_early == 1
+
+    # full depth: torch dynamic == torch forward final == ours final
+    np.testing.assert_allclose(t_full, t_fwd[-1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.transpose(t_full, (0, 2, 3, 1)), ours[-1], rtol=1e-3, atol=1e-3
+    )
+
+    # early exit: the reference's dynamic path diverges from its own forward
+    # (the 2^-level aspp_size defect); ours matches the forward convention.
+    assert t_early.shape == t_fwd[0].shape
+    assert np.abs(t_early - t_fwd[0]).max() > 1e-2
+    np.testing.assert_allclose(
+        np.transpose(t_fwd[0], (0, 2, 3, 1)), ours[0], rtol=1e-3, atol=1e-3
+    )
