@@ -5,6 +5,7 @@ from .step import (
     create_train_state,
     make_eval_step,
     make_optimizer,
+    make_search_steps,
     make_single_device_train_step,
     make_train_step,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "create_train_state",
     "make_eval_step",
     "make_optimizer",
+    "make_search_steps",
     "make_single_device_train_step",
     "make_train_step",
 ]
