@@ -286,9 +286,16 @@ def test_dynamic_inference_behavior_vs_reference(monkeypatch):
     )
 
     # early exit: the reference's dynamic path diverges from its own forward
-    # (the 2^-level aspp_size defect); ours matches the forward convention.
+    # (the 2^-level aspp_size defect runs ASPP on a 16x-interpolated map);
+    # ours matches the forward convention. The divergence is systematic and
+    # larger than both the fp parity noise and the parity tolerance, while
+    # our exit-0 logits stay within tolerance of the torch *forward*.
     assert t_early.shape == t_fwd[0].shape
-    assert np.abs(t_early - t_fwd[0]).max() > 1e-2
+    defect_gap = np.abs(t_early - t_fwd[0]).max()
+    parity_gap = np.abs(np.transpose(t_fwd[0], (0, 2, 3, 1)) - ours[0]).max()
+    assert defect_gap > 1e-3 and defect_gap > 5 * parity_gap, (
+        defect_gap, parity_gap,
+    )
     np.testing.assert_allclose(
         np.transpose(t_fwd[0], (0, 2, 3, 1)), ours[0], rtol=1e-3, atol=1e-3
     )

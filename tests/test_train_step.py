@@ -81,8 +81,9 @@ def test_sharded_search_steps_equal_single_device(rng):
     from auto_dynamic_deeplab_tpu.train import make_search_steps
     from auto_dynamic_deeplab_tpu.train.step import make_arch_optimizer
 
-    x = rng.randn(8, 17, 17, 3).astype(np.float32)
-    y = rng.randint(0, 19, size=(8, 17, 17)).astype(np.int32)
+    # 65x65: supernet crops need (d-1) % 64 == 0 (even-dim upsample rule)
+    x = rng.randn(8, 65, 65, 3).astype(np.float32)
+    y = rng.randint(0, 19, size=(8, 65, 65)).astype(np.int32)
     batch = {"image": jnp.asarray(x), "label": jnp.asarray(y)}
 
     kw = dict(num_layers=6, F=2, B=5, C_index=(3,), remat=False)
