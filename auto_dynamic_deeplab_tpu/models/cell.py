@@ -71,6 +71,11 @@ class FixedCell(nn.Module):
     # concat along channels, BN folded, block-diag pointwise matmuls. Exact
     # up to bf16 rounding of the folded scales; training stays unpacked.
     packed_eval: bool = False
+    # Eval-only fused Pallas DAG execution (kernels/cell_ops.py): the block
+    # DAG runs in a flat channel-major (C, spatial-lane) layout — one
+    # pallas_call per conv stage, BN folded — avoiding XLA's 128-lane
+    # padding at C=40. Batch-1 only; other batches fall back to XLA.
+    flat_eval: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -156,7 +161,35 @@ class FixedCell(nn.Module):
                 s0 = resize_bilinear(s0, hw, align_corners=False)
             s0 = self.pre_preprocess(s0, train)
 
+        use_flat = (
+            self.flat_eval
+            and not train
+            and not self.is_initializing()
+            and s1.shape[0] == 1
+        )
         states = [s0, s1]
+        if use_flat:
+            from ..kernels.cell_ops import (
+                FlatSpec,
+                concat_from_flat,
+                run_dag_flat,
+                to_flat,
+            )
+
+            spec = FlatSpec(H=s1.shape[1], W=s1.shape[2])
+            blocks = run_dag_flat(
+                to_flat(s0, spec),
+                to_flat(s1, spec),
+                self.assignment,
+                self.B,
+                [op.variables for op in self.ops],
+                PRIMITIVES,
+                spec,
+            )
+            concat = concat_from_flat(blocks, self.C_out, spec)
+            if self.dense_out:
+                return prev_input, concat, self.dense_process(concat, train)
+            return prev_input, concat
         if self.packed_eval and not train and not self.is_initializing():
             states.extend(
                 run_packed_dag(

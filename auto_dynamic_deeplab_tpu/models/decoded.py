@@ -85,6 +85,10 @@ class DecodedNet(nn.Module):
     # of independent ops concat to full vector lanes, BN folded, ~3x fewer
     # kernels. Training and init always use the unpacked modules.
     packed_eval: bool = False
+    # Fused Pallas flat-layout eval execution of the cell DAGs
+    # (kernels/cell_ops.py): one pallas_call per conv stage in (C, lane)
+    # layout. Batch-1 eval only; training/init always unfused.
+    flat_eval: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -126,6 +130,7 @@ class DecodedNet(nn.Module):
                     dense_out=dense_out,
                     num_dense_in=(i - 1) if dense_in else 0,
                     packed_eval=self.packed_eval,
+                    flat_eval=self.flat_eval,
                     name=f"cell_{i}",
                     **kw,
                 )

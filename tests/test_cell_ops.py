@@ -1,0 +1,220 @@
+"""Fused flat-layout cell kernels (kernels/cell_ops.py) — parity invariants:
+  * to_flat/from_flat round-trips exactly (pads zeroed);
+  * every fused conv stage == the XLA primitive op in fp32 (interpret mode
+    runs the real kernel arithmetic on CPU);
+  * run_dag_flat == the unfused FixedCell DAG for the shipped genotype AND
+    random genotypes covering pools/skip/none fallbacks;
+  * the full ADD model with flat_eval=True matches flat_eval=False in fp32,
+    and under the bf16 policy stays as close to the fp32 oracle as the
+    unfused bf16 path;
+  * training/init are untouched (identical param pytrees);
+  * batches with N>1 fall back to the XLA path (no silent sample drop).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auto_dynamic_deeplab_tpu.kernels.cell_ops import (
+    FlatSpec,
+    from_flat,
+    pad_channels,
+    run_dag_flat,
+    to_flat,
+    _apply_conv_op,
+)
+from auto_dynamic_deeplab_tpu.models import ADD
+from auto_dynamic_deeplab_tpu.models.cell import (
+    FixedCell,
+    as_genotype_rows,
+    edge_op_assignment,
+)
+from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE
+from auto_dynamic_deeplab_tpu.nas.genotypes import PRIMITIVES
+from auto_dynamic_deeplab_tpu.ops.packed import _block_edges
+from auto_dynamic_deeplab_tpu.ops.primitives import OPS
+
+_PATH, _C_INDEX = [1, 2, 2, 2, 3, 2], [1]
+
+
+def _spec(h, w):
+    return FlatSpec(H=h, W=w, chunk=256)
+
+
+def _randomize_bn(variables, rng):
+    """Non-trivial BN params/stats so folding is actually exercised."""
+
+    def visit(tree, stats):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = visit(v, stats)
+            else:
+                if stats and k == "mean":
+                    out[k] = jnp.asarray(rng.normal(0, 0.5, v.shape), v.dtype)
+                elif stats and k == "var":
+                    out[k] = jnp.asarray(rng.uniform(0.5, 2.0, v.shape), v.dtype)
+                elif not stats and k == "scale":
+                    out[k] = jnp.asarray(rng.uniform(0.5, 1.5, v.shape), v.dtype)
+                elif not stats and k == "bias":
+                    out[k] = jnp.asarray(rng.normal(0, 0.3, v.shape), v.dtype)
+                else:
+                    out[k] = v
+        return out
+
+    v = dict(variables)
+    if "params" in v:
+        v["params"] = visit(jax.device_get(v["params"]), False)
+    if "batch_stats" in v:
+        v["batch_stats"] = visit(jax.device_get(v["batch_stats"]), True)
+    return v
+
+
+def test_flat_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(1, 13, 17, 5)).astype(np.float32))
+    spec = _spec(13, 17)
+    f = to_flat(x, spec)
+    assert f.shape == (pad_channels(5), spec.L)
+    # all pad positions are exactly zero
+    total = float(jnp.abs(f).sum())
+    core_sum = float(jnp.abs(x).sum())
+    np.testing.assert_allclose(total, core_sum, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(from_flat(f, 5, spec)), np.asarray(x))
+
+
+@pytest.mark.parametrize(
+    "name", ["sep_conv_3x3", "sep_conv_5x5", "dil_conv_3x3", "dil_conv_5x5"]
+)
+def test_conv_stage_matches_xla_primitive(name):
+    rng = np.random.RandomState(42)
+    C, H, W = 8, 13, 17
+    x = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    op = OPS[name](C, 1)
+    variables = op.init(jax.random.PRNGKey(0), x, False)
+    variables = _randomize_bn(variables, rng)
+    want = op.apply(variables, x, False)
+
+    spec = _spec(H, W)
+    src = jnp.maximum(to_flat(x, spec), 0.0)
+    got = from_flat(
+        _apply_conv_op(name, variables, src, spec, interpret=True), C, spec
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def _random_genotype(seed: int, B: int = 5):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for edges in _block_edges(B):
+        picked = rng.choice(edges, size=2, replace=False)
+        for e in picked:
+            rows.append([int(e), int(rng.randint(0, 8))])
+    return np.array(rows, dtype=np.int64)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_run_dag_flat_matches_unfused_dag(seed):
+    """The raw DAG runner == the XLA op loop for random genotypes (pools,
+    skip, none included via the NHWC fallback)."""
+    rng = np.random.RandomState(seed)
+    B, C, H, W = 5, 8, 13, 17
+    geno = as_genotype_rows(_random_genotype(seed, B))
+    assignment = edge_op_assignment(geno)
+    s0 = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    s1 = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+
+    ops, op_vars = [], []
+    for k, (_, opi) in enumerate(assignment):
+        op = OPS[PRIMITIVES[opi]](C, 1)
+        v = op.init(jax.random.PRNGKey(100 + k), s0, False)
+        ops.append(op)
+        op_vars.append(_randomize_bn(v, rng))
+
+    # Unfused oracle: the FixedCell DAG loop semantics.
+    selected = dict(assignment)
+    states = [s0, s1]
+    it = iter(range(len(ops)))
+    offset = 0
+    for _ in range(B):
+        outs = []
+        for j in range(len(states)):
+            if (offset + j) in selected:
+                k = next(it)
+                outs.append(ops[k].apply(op_vars[k], states[j], False))
+        states.append(sum(outs))
+        offset += len(states) - 1
+    want = jnp.concatenate(states[2:], axis=-1)
+
+    spec = _spec(H, W)
+    blocks = run_dag_flat(
+        to_flat(s0, spec), to_flat(s1, spec), assignment, B, op_vars,
+        PRIMITIVES, spec, interpret=True,
+    )
+    got = jnp.concatenate([from_flat(b, C, spec) for b in blocks], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def _tiny_add(dtype=None, flat_eval=False):
+    return ADD(
+        _PATH, _C_INDEX, AUTODEEPLAB_GENOTYPE, num_classes=7, F=4, B=5,
+        dtype=dtype, flat_eval=flat_eval,
+    )
+
+
+def _bn_warm_variables(model, x, seed=0):
+    v = model.init(jax.random.PRNGKey(seed), x, True)
+    # one train step to make batch_stats non-trivial
+    out, updates = model.apply(
+        v, x, True, mutable=["batch_stats"]
+    )
+    return {**v, **updates}
+
+
+def test_add_flat_eval_matches_unfused():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.normal(size=(1, 65, 97, 3)).astype(np.float32))
+    base = _tiny_add(flat_eval=False)
+    variables = _bn_warm_variables(base, x)
+    want = base.apply(variables, x, False)
+    got = _tiny_add(flat_eval=True).apply(variables, x, False)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-4)
+
+
+def test_add_flat_eval_bf16_close_to_fp32_oracle():
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.normal(size=(1, 65, 97, 3)).astype(np.float32))
+    base = _tiny_add(flat_eval=False)
+    variables = _bn_warm_variables(base, x)
+    oracle = base.apply(variables, x, False)
+
+    unfused = _tiny_add(dtype=jnp.bfloat16, flat_eval=False).apply(
+        variables, x, False
+    )
+    fused = _tiny_add(dtype=jnp.bfloat16, flat_eval=True).apply(
+        variables, x, False
+    )
+    for o, u, f in zip(oracle, unfused, fused):
+        err_u = float(jnp.max(jnp.abs(u.astype(jnp.float32) - o)))
+        err_f = float(jnp.max(jnp.abs(f.astype(jnp.float32) - o)))
+        assert err_f <= 2.0 * err_u + 1e-3, (err_f, err_u)
+
+
+def test_flat_eval_init_and_train_untouched_and_batch_fallback():
+    rng = np.random.RandomState(9)
+    x1 = jnp.asarray(rng.normal(size=(1, 33, 33, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 33, 33, 3)).astype(np.float32))
+    base, flat = _tiny_add(flat_eval=False), _tiny_add(flat_eval=True)
+    vb = base.init(jax.random.PRNGKey(1), x1, True)
+    vf = flat.init(jax.random.PRNGKey(1), x1, True)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, vb, vf)
+    )
+    # N=2 eval goes through the XLA fallback and matches exactly
+    variables = _bn_warm_variables(base, x2)
+    want = base.apply(variables, x2, False)
+    got = flat.apply(variables, x2, False)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
