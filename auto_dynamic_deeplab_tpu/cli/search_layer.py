@@ -1,7 +1,14 @@
-"""Stage-1 driver: NAS search (search.py parity).
+"""Stage-1 driver, fixed-2-exit variant: search_layer.py parity.
 
---network supernet      → cell+path search (Model_search equivalent)
---network net_supernet  → path-only search with fixed cells (Model_net_search)
+The reference's driver (search_layer.py — import-broken and bit-rotted in
+the upstream repo) trains the 2-exit supernets with a *summed* per-exit CE
+(loss_1 + loss_2, search_layer.py:187-196) instead of search.py's mean:
+
+  --network supernet       → cell+path search, exit at --exit-layer + final
+                             (Model_search, search_layer.py:82-90)
+  --network baseline_path  → fixed-cell, non-dense trellis, single fixed
+                             exit station (Model_layer_search_baseline,
+                             model_baseline_path_search.py:135-150)
 """
 from __future__ import annotations
 
@@ -10,17 +17,17 @@ import argparse
 import numpy as np
 
 from ..data import make_data_loader
-from ..models import ModelBaselinePathSearch, ModelNetSearch, ModelSearch
+from ..models import ModelBaselinePathSearch, ModelSearch
 from ..nas.genotypes import AUTODEEPLAB_GENOTYPE
 from ..train.search_trainer import SearchConfig, SearchTrainer
-from .common import add_common_args, search_c_index
+from .common import add_common_args
 
 
 def build_parser():
-    p = argparse.ArgumentParser(description="NAS supernet search")
+    p = argparse.ArgumentParser(description="NAS 2-exit supernet search")
     add_common_args(p)
-    p.add_argument("--network", default="net_supernet",
-                   choices=["supernet", "net_supernet", "baseline_path"])
+    p.add_argument("--network", default="baseline_path",
+                   choices=["supernet", "baseline_path"])
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--alpha-epoch", type=int, default=150)
     p.add_argument("--lr", type=float, default=0.025)
@@ -32,12 +39,9 @@ def build_parser():
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--genotype", default=None)
     p.add_argument("--no-remat", action="store_true")
-    p.add_argument("--exit-layers", type=int, nargs="+", default=None,
-                   help="override exit stations (default: C-derived)")
-    p.add_argument("--no-dp", action="store_true",
-                   help="disable data-parallel search even with >1 device "
-                        "(default: shard over all devices, mirroring "
-                        "search.py:144-149 DataParallel+SyncBN)")
+    p.add_argument("--exit-layer", type=int, default=5,
+                   help="the fixed early-exit station (reference default 5)")
+    p.add_argument("--no-dp", action="store_true")
     return p
 
 
@@ -56,8 +60,6 @@ def main(argv=None):
         synthetic_crop=tuple(args.synthetic_crop),
     )
 
-    # Data-parallel search over all local devices (search.py:144-149 runs
-    # search under DataParallel+SyncBN): shard_map bilevel steps + BN psum.
     import jax
 
     from ..parallel.mesh import DATA_AXIS, make_data_mesh
@@ -68,24 +70,18 @@ def main(argv=None):
         mesh = make_data_mesh(args.batch_size)
         axis_name = DATA_AXIS if mesh is not None else None
 
-    exits = tuple(args.exit_layers or search_c_index(args.C))
     if args.network == "supernet":
         model = ModelSearch(
             nclass, num_layers=args.num_layers, F=args.F, B=args.B,
-            exit_layer=exits[0], remat=not args.no_remat, axis_name=axis_name,
-        )
-    elif args.network == "baseline_path":
-        # 2-exit fixed-station variant (search_layer.py, broken in the ref)
-        genotype = np.load(args.genotype) if args.genotype else AUTODEEPLAB_GENOTYPE
-        model = ModelBaselinePathSearch(
-            nclass, genotype, num_layers=args.num_layers, F=args.F, B=args.B,
-            exit_layer=exits[0], remat=not args.no_remat, axis_name=axis_name,
+            exit_layer=args.exit_layer, remat=not args.no_remat,
+            axis_name=axis_name,
         )
     else:
         genotype = np.load(args.genotype) if args.genotype else AUTODEEPLAB_GENOTYPE
-        model = ModelNetSearch(
+        model = ModelBaselinePathSearch(
             nclass, genotype, num_layers=args.num_layers, F=args.F, B=args.B,
-            C_index=exits, remat=not args.no_remat, axis_name=axis_name,
+            exit_layer=args.exit_layer, remat=not args.no_remat,
+            axis_name=axis_name,
         )
 
     cfg = SearchConfig(
@@ -97,9 +93,10 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         arch_weight_decay=args.arch_weight_decay,
         eval_interval=args.eval_interval,
+        loss_reduce="sum",  # search_layer.py:190 — loss_1 + loss_2
         run_dir=args.run_dir,
         dataset=args.dataset,
-        checkname=args.checkname or f"search_{args.network}_F{args.F}",
+        checkname=args.checkname or f"search_layer_{args.network}_F{args.F}",
     )
     trainer = SearchTrainer(
         model, loader_a, loader_b, val_loader, cfg, seed=args.seed, mesh=mesh

@@ -114,12 +114,17 @@ class _ShiftedDilatedConv3x3(nn.Module):
         y = jax.lax.dot_general(
             x.reshape(-1, cin), k, (((1,), (0,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32,
-        ).reshape(n, h, w, 9, self.features)
+        )
+        if self.dtype is not None:  # see ASPPTrain: halve taps HBM traffic
+            y = y.astype(self.dtype)
+        y = y.reshape(n, h, w, 9, self.features)
         d = self.dilation
         acc = None
         for i in range(3):
             for j in range(3):
-                t = _shift2d(y[:, :, :, 3 * i + j, :], (i - 1) * d, (j - 1) * d)
+                t = _shift2d(
+                    y[:, :, :, 3 * i + j, :], (i - 1) * d, (j - 1) * d
+                ).astype(jnp.float32)
                 acc = t if acc is None else acc + t
         return acc.astype(x.dtype)
 
@@ -199,7 +204,14 @@ class ASPPTrain(nn.Module):
             taps = jax.lax.dot_general(
                 xc.reshape(-1, cin), Kc, (((1,), (0,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32,
-            ).reshape(n, h, w, len(shifted), 9, self.depth)
+            )
+            # In the bf16 policy, store the taps tensor (the dominant HBM
+            # traffic here: h*w*len(shifted)*9*depth) at the compute dtype;
+            # the MXU still accumulated in fp32, and the 9-tap shifted sum
+            # below re-accumulates in fp32.
+            if self.dtype is not None:
+                taps = taps.astype(self.dtype)
+            taps = taps.reshape(n, h, w, len(shifted), 9, self.depth)
             for bi, (nm, d) in enumerate(shifted.items()):
                 acc = None
                 for i in range(3):
@@ -207,7 +219,7 @@ class ASPPTrain(nn.Module):
                         t = _shift2d(
                             taps[:, :, :, bi, 3 * i + j, :],
                             (i - 1) * d, (j - 1) * d,
-                        )
+                        ).astype(jnp.float32)
                         acc = t if acc is None else acc + t
                 y = acc.astype(xc.dtype)
                 y = BatchNorm(name=f"{nm}_bn", **kw)(y, train)

@@ -32,6 +32,19 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_data_mesh(batch_size: int) -> Optional[Mesh]:
+    """Mesh for data-parallel training of ``batch_size`` batches, or None.
+
+    Uses the largest device count that divides ``batch_size`` so every batch
+    shards evenly — a mesh wider than the batch would make the step loop drop
+    every batch as a ragged tail (a silent no-op training run).
+    """
+    import math
+
+    n = math.gcd(jax.device_count(), batch_size)
+    return make_mesh(n_data=n) if n > 1 else None
+
+
 def batch_spec() -> P:
     return P(DATA_AXIS)
 

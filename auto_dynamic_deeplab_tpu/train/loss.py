@@ -41,10 +41,18 @@ def multi_exit_cross_entropy(
     target: jnp.ndarray,
     weight: Optional[jnp.ndarray] = None,
     ignore_index: int = 255,
+    reduce: str = "mean",
 ) -> jnp.ndarray:
-    """Joint loss: mean of per-exit CE (train.py:229-233)."""
+    """Joint loss over exits. ``reduce='mean'`` is the per-exit CE mean
+    (train.py:229-233, search.py:190-194); ``'sum'`` is the plain sum the
+    2-exit search_layer driver uses (search_layer.py:187-196)."""
     losses = [cross_entropy(l, target, weight, ignore_index) for l in logits_list]
-    return sum(losses) / len(losses)
+    total = sum(losses)
+    if reduce == "sum":
+        return total
+    if reduce == "mean":
+        return total / len(losses)
+    raise NotImplementedError(reduce)
 
 
 class SegmentationLosses:

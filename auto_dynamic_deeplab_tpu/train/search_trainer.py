@@ -37,6 +37,9 @@ class SearchConfig:
     arch_lr: float = 3e-3
     arch_weight_decay: float = 1e-3
     eval_interval: int = 5
+    # per-exit CE reduction: 'mean' (search.py:190-194) or 'sum'
+    # (search_layer.py:187-196 — the dedicated 2-exit driver)
+    loss_reduce: str = "mean"
     run_dir: str = "run"
     dataset: str = "synthetic"
     checkname: str = "search"
@@ -96,7 +99,8 @@ class SearchTrainer:
         from .step import make_search_steps
 
         self._weight_step, self._arch_step = make_search_steps(
-            model, self.w_tx, self.a_tx, mesh=mesh, class_weight=weight
+            model, self.w_tx, self.a_tx, mesh=mesh, class_weight=weight,
+            loss_reduce=config.loss_reduce,
         )
         from ..parallel.mesh import DATA_AXIS
 
@@ -133,18 +137,30 @@ class SearchTrainer:
 
             if epoch >= self.config.alpha_epoch:
                 batch_b = None
-                while batch_b is None or batch_b["image"].shape[0] % self.n_shards:
+                for _ in range(len(self.loader_b) + 1):  # bounded: all-ragged B set
                     try:
                         batch_b = next(iter_b)
                     except StopIteration:
                         iter_b = iter(self.loader_b)
                         batch_b = next(iter_b)
+                    if batch_b["image"].shape[0] % self.n_shards == 0:
+                        break
+                else:
+                    raise RuntimeError(
+                        f"no loader_b batch divides the {self.n_shards}-shard mesh"
+                    )
                 batch_b = {k: jnp.asarray(v) for k, v in batch_b.items()}
                 self.arch, self.batch_stats, self.a_opt, _ = self._arch_step(
                     self.params, self.batch_stats, self.arch, self.a_opt, batch_b
                 )
 
-        train_loss = float(np.mean(losses)) if losses else float("nan")
+        if not losses:
+            raise RuntimeError(
+                f"epoch {epoch}: every batch was dropped as a ragged tail — "
+                f"batch size must be a multiple of the {self.n_shards}-shard "
+                "mesh (build it with parallel.mesh.make_data_mesh)"
+            )
+        train_loss = float(np.mean(losses))
         self.summary.add_scalar("search/train_loss", train_loss, epoch)
         return train_loss
 

@@ -157,7 +157,8 @@ def make_single_device_train_step(
     return jax.jit(body, donate_argnums=(0,))
 
 
-def _search_bodies(model, w_tx, a_tx, class_weight, axis_name: Optional[str]):
+def _search_bodies(model, w_tx, a_tx, class_weight, axis_name: Optional[str],
+                   loss_reduce: str = "mean"):
     """Bilevel search step bodies (search.py:190-224). Each is one SPMD
     shard's step when ``axis_name`` is set: per-shard grads are pmean'd, BN
     statistics psum inside the model's BatchNorms (axis_name=DATA_AXIS), so
@@ -170,7 +171,9 @@ def _search_bodies(model, w_tx, a_tx, class_weight, axis_name: Optional[str]):
                 batch["image"], train=True, mutable=["batch_stats"],
             )
             return (
-                multi_exit_cross_entropy(outs, batch["label"], class_weight),
+                multi_exit_cross_entropy(
+                    outs, batch["label"], class_weight, reduce=loss_reduce
+                ),
                 mutated["batch_stats"],
             )
 
@@ -188,7 +191,9 @@ def _search_bodies(model, w_tx, a_tx, class_weight, axis_name: Optional[str]):
                 batch["image"], train=True, mutable=["batch_stats"],
             )
             return (
-                multi_exit_cross_entropy(outs, batch["label"], class_weight),
+                multi_exit_cross_entropy(
+                    outs, batch["label"], class_weight, reduce=loss_reduce
+                ),
                 mutated["batch_stats"],
             )
 
@@ -208,8 +213,12 @@ def make_search_steps(
     a_tx: optax.GradientTransformation,
     mesh=None,
     class_weight: Optional[jnp.ndarray] = None,
+    loss_reduce: str = "mean",
 ) -> Sequence[Callable]:
     """(weight_step, arch_step) for stage-1 NAS search.
+
+    ``loss_reduce`` picks the per-exit reduction: 'mean' (search.py:190-194)
+    or 'sum' (the 2-exit search_layer.py:187-196 driver).
 
     With ``mesh``, both bilevel steps are data-parallel shard_map programs
     (the reference runs search under DataParallel+SyncBN, search.py:144-149;
@@ -217,9 +226,9 @@ def make_search_steps(
     constructed with axis_name=DATA_AXIS so BN stats psum across shards.
     """
     if mesh is None:
-        wb, ab = _search_bodies(model, w_tx, a_tx, class_weight, None)
+        wb, ab = _search_bodies(model, w_tx, a_tx, class_weight, None, loss_reduce)
         return jax.jit(wb), jax.jit(ab)
-    wb, ab = _search_bodies(model, w_tx, a_tx, class_weight, DATA_AXIS)
+    wb, ab = _search_bodies(model, w_tx, a_tx, class_weight, DATA_AXIS, loss_reduce)
     in_specs = (P(), P(), P(), P(), P(DATA_AXIS))
     out_specs = (P(), P(), P(), P())
     steps = []

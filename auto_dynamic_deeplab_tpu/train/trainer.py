@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import make_data_mesh
 from ..utils.saver import Saver, find_latest_checkpoint, restore_checkpoint
 from ..utils.summaries import TrainingSummary
 from .evaluator import Evaluation
@@ -92,8 +92,15 @@ class Trainer:
         )
 
         weight = None if class_weight is None else jnp.asarray(class_weight)
-        if config.data_parallel and jax.device_count() > 1:
-            self.mesh = make_mesh()
+        # Mesh width divides the batch size: a wider mesh would drop every
+        # batch as a ragged tail (silent no-op run).
+        mesh = (
+            make_data_mesh(train_loader.batch_size)
+            if config.data_parallel and jax.device_count() > 1
+            else None
+        )
+        if mesh is not None:
+            self.mesh = mesh
             self.train_step = make_train_step(model, self.tx, self.mesh, weight)
             self.n_shards = self.mesh.shape["data"]
         else:

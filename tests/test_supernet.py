@@ -120,3 +120,35 @@ def test_search_trainer_bilevel(tmp_path):
     decoded = trainer.decode_and_save(1)
     assert decoded["path"].shape == (6,)
     assert decoded["path"][0] in (0, 1)
+
+
+def test_multi_exit_loss_sum_reduce():
+    """reduce='sum' (search_layer.py:190) == n_exits * reduce='mean'."""
+    from auto_dynamic_deeplab_tpu.train.loss import multi_exit_cross_entropy
+
+    rng = np.random.RandomState(0)
+    logits = [jnp.asarray(rng.normal(size=(2, 9, 9, 5)).astype(np.float32))
+              for _ in range(2)]
+    target = jnp.asarray(rng.randint(0, 5, size=(2, 9, 9)))
+    mean = multi_exit_cross_entropy(logits, target, reduce="mean")
+    total = multi_exit_cross_entropy(logits, target, reduce="sum")
+    np.testing.assert_allclose(float(total), 2.0 * float(mean), rtol=1e-6)
+
+
+def test_search_layer_driver_end_to_end(tmp_path):
+    """Dedicated 2-exit driver (search_layer.py parity): one bilevel epoch
+    on synthetic data decodes a valid path and moves the betas."""
+    from auto_dynamic_deeplab_tpu.cli.search_layer import main
+
+    result = main([
+        "--dataset", "synthetic",
+        "--network", "baseline_path",
+        "--num-layers", "6", "--F", "2", "--B", "5",
+        "--exit-layer", "3",
+        "--epochs", "2", "--alpha-epoch", "1", "--eval-interval", "2",
+        "--batch-size", "4", "--workers", "2",
+        "--synthetic-length", "8", "--synthetic-crop", "65", "65",
+        "--run-dir", str(tmp_path), "--no-dp", "--no-remat",
+    ])
+    assert len(result["miou"]) == 2
+    assert np.isfinite(result["train_loss"])

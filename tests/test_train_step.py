@@ -179,3 +179,18 @@ def test_arch_adam_chain_matches_torch():
         up, sw = txw.update({"w": pw["w"] + i}, sw, pw)
         pw = optax.apply_updates(pw, up)
     assert not np.allclose(np.asarray(pw["w"]), np.asarray(params["w"]), atol=1e-7)
+
+
+@pytest.mark.fast
+def test_make_data_mesh_divides_batch():
+    """make_data_mesh never builds a mesh wider than the batch: a wider mesh
+    makes the step loops drop every batch as a ragged tail (silent no-op)."""
+    from auto_dynamic_deeplab_tpu.parallel.mesh import make_data_mesh
+
+    assert jax.device_count() == 8
+    assert make_data_mesh(16).shape["data"] == 8
+    assert make_data_mesh(8).shape["data"] == 8
+    assert make_data_mesh(4).shape["data"] == 4
+    assert make_data_mesh(6).shape["data"] == 2
+    assert make_data_mesh(3) is None  # gcd(8, 3) == 1
+    assert make_data_mesh(1) is None
