@@ -313,9 +313,9 @@ def packed_pool(xs: List[jnp.ndarray], kind: str):
             if jnp.issubdtype(x.dtype, jnp.floating)
             else jnp.iinfo(x.dtype).min
         )
-        y = jax.lax.reduce_window(
-            x, jnp.array(neg_inf, x.dtype), jax.lax.max, dims, strides, pad
-        )
+        # literal init (not jnp.array): keeps the differentiable (max, -inf)
+        # monoid recognizable under jit — see ops/primitives.max_pool_3x3
+        y = jax.lax.reduce_window(x, neg_inf, jax.lax.max, dims, strides, pad)
     else:
         summed = jax.lax.reduce_window(
             x.astype(jnp.float32), 0.0, jax.lax.add, dims, strides, pad

@@ -51,14 +51,18 @@ def conv2d(
 
 def max_pool_3x3(x: jnp.ndarray, stride: int) -> jnp.ndarray:
     """MaxPool2d(3, stride, padding=1)."""
-    # exact -inf init: JAX only knows the reverse-mode rule for the
-    # (max, -inf) monoid; finfo.min silently loses differentiability
+    # The init value must be the PYTHON literal -inf, not jnp.array(-inf):
+    # reduce_window only recognizes the differentiable (max, -inf) monoid
+    # from a concrete literal. A traced-constant init falls back to generic
+    # reduce_window, which has no transpose rule — jit(grad(...)) then dies
+    # with "Linearization failed to produce known values for all output
+    # primals" (eager grad still works, which hid this).
     neg_inf = (
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     )
     return jax.lax.reduce_window(
         x,
-        jnp.array(neg_inf, x.dtype),
+        neg_inf,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, stride, stride, 1),

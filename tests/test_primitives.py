@@ -177,3 +177,17 @@ def test_ops_registry_shapes(rng):
         assert y.shape == x.shape, name
         if name == "none":
             assert np.all(np.asarray(y) == 0)
+
+
+@pytest.mark.fast
+def test_pools_differentiable_under_jit():
+    """jit(grad(max_pool)) regression: a jnp.array(-inf) init value hides the
+    (max, -inf) monoid from reduce_window's pattern match under jit, falling
+    back to generic reduce_window which has no transpose rule ("Linearization
+    failed..."). Eager grad works either way, which masked this — the mixed
+    supernet's jitted weight step was the first caller to hit it."""
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 9, 9, 4).astype(np.float32))
+    for fn in (max_pool_3x3, avg_pool_3x3):
+        for stride in (1, 2):
+            g = jax.jit(jax.grad(lambda x, f=fn, s=stride: f(x, s).sum()))(x)
+            assert np.isfinite(np.asarray(g)).all()

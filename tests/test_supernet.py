@@ -152,3 +152,31 @@ def test_search_layer_driver_end_to_end(tmp_path):
     ])
     assert len(result["miou"]) == 2
     assert np.isfinite(result["train_loss"])
+
+
+def test_mixed_search_steps_jit():
+    """Jitted bilevel steps on the MIXED (cell+path) supernet — regression
+    for the reduce_window-max init-value bug: jit(value_and_grad) through
+    max_pool failed with "Linearization failed..." while eager grad passed,
+    so only eager-grad coverage existed for mixed cells (search.py:190-224
+    runs exactly this jitted path)."""
+    from auto_dynamic_deeplab_tpu.train import lr_schedule, make_search_steps
+    from auto_dynamic_deeplab_tpu.train.step import (
+        make_arch_optimizer,
+        make_optimizer,
+    )
+
+    m = ModelSearch(5, num_layers=6, F=2, B=2, exit_layer=3, remat=False)
+    x = X[:1]
+    y = jnp.asarray(np.random.RandomState(3).randint(0, 5, (1, 65, 65)))
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    params, arch, bs = v["params"], v["arch"], v["batch_stats"]
+    w_tx = make_optimizer(lr_schedule("poly", 0.025, 2, 2), weight_decay=3e-4)
+    a_tx = make_arch_optimizer(3e-3, 1e-3)
+    ws, as_ = make_search_steps(m, w_tx, a_tx)
+    batch = {"image": x, "label": y}
+    p2, bs2, _, loss = ws(params, bs, arch, w_tx.init(params), batch)
+    assert np.isfinite(float(loss))
+    a2, _, _, aloss = as_(p2, bs2, arch, a_tx.init(arch), batch)
+    assert np.isfinite(float(aloss))
+    assert not np.allclose(np.asarray(arch["alphas"]), np.asarray(a2["alphas"]))
