@@ -55,10 +55,11 @@ class DynamicInferenceEngine:
         # XLA stems at 1025x2049 on v5e. TPU + bf16 eval path only.
         if use_pallas_stems == "auto":
             # The Mosaic kernel uses TPU-only primitives (pltpu bitcast
-            # sublane packing, DMA): never auto-enable on GPU backends.
+            # sublane packing, DMA): never auto-enable on GPU/CPU backends.
+            # 'axon' is the remote-relay TPU plugin — same Mosaic target.
             self._pallas_stems = (
                 getattr(model, "dtype", None) == jnp.bfloat16
-                and jax.default_backend() == "tpu"
+                and jax.default_backend() in ("tpu", "axon")
             )
         else:
             self._pallas_stems = bool(use_pallas_stems)

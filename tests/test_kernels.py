@@ -67,3 +67,36 @@ class TestFusedStems:
             b = np.asarray(b, np.float32)
             rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
             assert rel < 0.02, (name, rel)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="compiled Mosaic parity needs a real TPU (axon = TPU relay)",
+)
+def test_fused_stems_compiled_matches_xla_on_tpu():
+    """COMPILED (interpret=False) fused-stems vs XLA stems on the chip.
+
+    The kernel's stride-2 trick relies on Mosaic's bf16 (2,1) sublane
+    packing order (kernels/stems.py _split_even_odd); interpret mode may
+    not model the hardware packing, so a Mosaic change that flips it is
+    only caught here."""
+    from auto_dynamic_deeplab_tpu.kernels.stems import fold_stem_bns, fused_stems
+    from auto_dynamic_deeplab_tpu.models.decoded import _Stems
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 65, 97, 3).astype(np.float32))
+    stems = _Stems(dtype=jnp.bfloat16)
+    variables = stems.init(jax.random.PRNGKey(0), x, False)
+    bs = jax.tree.map(
+        lambda a: a + jnp.asarray(rng.rand(*a.shape), jnp.float32) * 0.3,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+    s0_ref, s1_ref = stems.apply(variables, x, False)
+    args = fold_stem_bns(variables["params"], variables["batch_stats"])
+    s0_k, s1_k = fused_stems(x, *args, interpret=False)
+    for name, a, b in (("s0", s0_ref, s0_k), ("s1", s1_ref, s1_k)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert rel < 0.02, (name, rel)
