@@ -17,6 +17,12 @@ channel-major layout:
   * Spatial taps (dh, dw) become single lane shifts s = dh*Ws + dw; the
     inter-row pad and the P halos hold zeros, so conv zero-padding needs
     no per-tap masking.
+  * The source state stays in HBM; each grid block DMAs its
+    (CS, CHUNK + 2*halo) lane window into a double-buffered VMEM scratch
+    (the kernels/stems.py pattern). At the hot level-1 size (257x513,
+    C=40) the full state is ~13.5 MB — pinning it in VMEM via in_specs
+    would blow the ~16 MB budget once the dil5 im2col scratch is added;
+    streaming keeps every stage a few MB regardless of resolution.
   * A depthwise+pointwise pair (SepConv stage, operations.py:46-62) is
     ntaps VPU FMAs (per-channel tap weights broadcast along lanes) + one
     MXU matmul (O, CS) @ (CS, CHUNK) — C channels occupy C sublanes, not
@@ -45,6 +51,17 @@ from .stems import fold_bn
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def pick_chunk(C: int) -> int:
+    """Largest lane block keeping the worst stage (dil5 im2col: 25*CS*chunk
+    bf16 scratch) within ~8 MB of VMEM, leaving room for the DMA windows."""
+    cs = pad_channels(C)
+    limit = 8 * 2**20
+    for chunk in (4096, 2048, 1024):
+        if 25 * cs * chunk * 2 <= limit:
+            return chunk
+    return 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,23 +129,39 @@ def _valid_mask(base, P, core, Ws, W, CHUNK):
     return jnp.logical_and(g < core, jax.lax.rem(g, Ws) < W)
 
 
-def _sep_stage_kernel(
-    src_ref,    # (CS, L) source state, already ReLU'd, zeros in pads
-    dwk_ref,    # (CS, ntaps) f32 depthwise tap weights (zero pad rows)
-    pw_ref,     # (OS, CS) pointwise kernel with BN scale folded
-    bias_ref,   # (OS, 1) f32 folded BN bias (zero pad rows)
-    out_ref,    # block (OS, CHUNK)
-    *,
-    shifts: Tuple[int, ...],
-    P: int,
-    core: int,
-    Ws: int,
-    W: int,
-    out_relu: bool,
-):
-    CHUNK = out_ref.shape[1]
-    base = pl.program_id(0) * CHUNK
-    in_core = jnp.logical_and(base >= P, base < pl.num_programs(0) * CHUNK - P)
+def stage_halo(shifts: Tuple[int, ...], P: int) -> int:
+    """DMA window halo for one stage: the largest |lane shift|, rounded up
+    so window starts stay 512-lane aligned, clamped to P (P >= the worst
+    primitive reach by construction, so the clamp never truncates taps;
+    it only matters for tiny test chunks where P < 512)."""
+    smax = max(max(shifts), -min(shifts), 0)
+    return min(_round_up(max(smax, 1), 512), P)
+
+
+def _window_dma(src_hbm, xwin, sem, i, chunk, hs, slot):
+    """Start/wait handle for block i's (CS, CHUNK + 2*hs) source window."""
+    return pltpu.make_async_copy(
+        src_hbm.at[:, pl.ds(i * chunk - hs, xwin.shape[2])],
+        xwin.at[slot],
+        sem.at[slot],
+    )
+
+
+def _stream_blocks(src_hbm, xwin, sem, P, CHUNK, hs, compute, out_ref):
+    """Shared grid-step driver: zero the pad blocks, double-buffer the
+    in-core source windows, call `compute(window)` on each core block."""
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    pb = P // CHUNK  # P is a multiple of CHUNK by construction
+    in_core = jnp.logical_and(i >= pb, i < nblk - pb)
+
+    @pl.when(i == pb)
+    def _():
+        _window_dma(src_hbm, xwin, sem, i, CHUNK, hs, i % 2).start()
+
+    @pl.when(jnp.logical_and(in_core, i + 1 < nblk - pb))
+    def _():
+        _window_dma(src_hbm, xwin, sem, i + 1, CHUNK, hs, (i + 1) % 2).start()
 
     @pl.when(jnp.logical_not(in_core))
     def _():
@@ -136,13 +169,40 @@ def _sep_stage_kernel(
 
     @pl.when(in_core)
     def _():
-        acc = jnp.zeros((src_ref.shape[0], CHUNK), jnp.float32)
+        _window_dma(src_hbm, xwin, sem, i, CHUNK, hs, i % 2).wait()
+        compute(xwin[i % 2])
+
+
+def _sep_stage_kernel(
+    src_hbm,    # (CS, L) source state in HBM, already ReLU'd, zeros in pads
+    dwk_ref,    # (CS, ntaps) f32 depthwise tap weights (zero pad rows)
+    pw_ref,     # (OS, CS) pointwise kernel with BN scale folded
+    bias_ref,   # (OS, 1) f32 folded BN bias (zero pad rows)
+    out_ref,    # block (OS, CHUNK)
+    xwin,       # scratch (2, CS, CHUNK + 2*hs) double-buffered window
+    sem,        # DMA semaphores (2,)
+    *,
+    shifts: Tuple[int, ...],
+    hs: int,
+    P: int,
+    core: int,
+    Ws: int,
+    W: int,
+    out_relu: bool,
+    in_relu: bool,
+):
+    CHUNK = out_ref.shape[1]
+    base = pl.program_id(0) * CHUNK
+
+    def compute(win):
+        src = jnp.maximum(win[:], 0) if in_relu else win[:]
+        acc = jnp.zeros((win.shape[0], CHUNK), jnp.float32)
         for t, s in enumerate(shifts):
-            seg = src_ref[:, pl.ds(base + s, CHUNK)]
+            seg = src[:, hs + s : hs + s + CHUNK]
             acc = acc + seg.astype(jnp.float32) * dwk_ref[:, t : t + 1]
         y = jax.lax.dot_general(
             pw_ref[:],
-            acc.astype(src_ref.dtype),
+            acc.astype(out_ref.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -152,35 +212,35 @@ def _sep_stage_kernel(
             y = jnp.maximum(y, 0.0)
         out_ref[:] = y.astype(out_ref.dtype)
 
+    _stream_blocks(src_hbm, xwin, sem, P, CHUNK, hs, compute, out_ref)
+
 
 def _dense_stage_kernel(
-    src_ref,    # (CS, L)
+    src_hbm,    # (CS, L) in HBM
     q_ref,      # (OS, ntaps*CS) kernel (BN scale folded)
     bias_ref,   # (OS, 1)
     out_ref,    # block (OS, CHUNK)
-    xt_ref,     # scratch (ntaps*CS, CHUNK)
+    xwin,       # scratch (2, CS, CHUNK + 2*hs)
+    sem,        # DMA semaphores (2,)
+    xt_ref,     # scratch (ntaps*CS, CHUNK) im2col
     *,
     shifts: Tuple[int, ...],
+    hs: int,
     P: int,
     core: int,
     Ws: int,
     W: int,
     out_relu: bool,
+    in_relu: bool,
 ):
     CHUNK = out_ref.shape[1]
-    CS = src_ref.shape[0]
+    CS = xwin.shape[1]
     base = pl.program_id(0) * CHUNK
-    nblk = pl.num_programs(0)
-    in_core = jnp.logical_and(base >= P, base < nblk * CHUNK - P)
 
-    @pl.when(jnp.logical_not(in_core))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    @pl.when(in_core)
-    def _():
+    def compute(win):
+        src = jnp.maximum(win[:], 0) if in_relu else win[:]
         for t, s in enumerate(shifts):
-            xt_ref[t * CS : (t + 1) * CS, :] = src_ref[:, pl.ds(base + s, CHUNK)]
+            xt_ref[t * CS : (t + 1) * CS, :] = src[:, hs + s : hs + s + CHUNK]
         y = jax.lax.dot_general(
             q_ref[:],
             xt_ref[:],
@@ -193,6 +253,8 @@ def _dense_stage_kernel(
             y = jnp.maximum(y, 0.0)
         out_ref[:] = y.astype(out_ref.dtype)
 
+    _stream_blocks(src_hbm, xwin, sem, P, CHUNK, hs, compute, out_ref)
+
 
 def default_interpret() -> bool:
     """Pallas interpret mode off-TPU (tests on CPU exercise real numerics)."""
@@ -204,6 +266,7 @@ def _run_stage(
     src: jnp.ndarray,
     weights: Sequence[jnp.ndarray],
     os_: int,
+    hs: int,
     spec: FlatSpec,
     scratch_shapes,
     interpret: Optional[bool],
@@ -211,13 +274,19 @@ def _run_stage(
     if interpret is None:
         interpret = default_interpret()
     grid = (spec.L // spec.chunk,)
+    cs = src.shape[0]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(weights)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
         out_specs=pl.BlockSpec((os_, spec.chunk), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((os_, spec.L), src.dtype),
-        scratch_shapes=scratch_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((2, cs, spec.chunk + 2 * hs), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        + scratch_shapes,
         interpret=interpret,
     )(src, *weights)
 
@@ -231,19 +300,23 @@ def sep_stage(
     spec: FlatSpec,
     out_relu: bool,
     interpret: Optional[bool] = None,
+    in_relu: bool = True,
 ) -> jnp.ndarray:
+    hs = stage_halo(shifts, spec.P)
     kernel = functools.partial(
         _sep_stage_kernel,
         shifts=shifts,
+        hs=hs,
         P=spec.P,
         core=spec.core,
         Ws=spec.Ws,
         W=spec.W,
         out_relu=out_relu,
+        in_relu=in_relu,
     )
     return _run_stage(
-        kernel, src, (dwk, pw.astype(src.dtype), bias), pw.shape[0], spec,
-        [], interpret,
+        kernel, src, (dwk, pw.astype(src.dtype), bias), pw.shape[0], hs,
+        spec, [], interpret,
     )
 
 
@@ -255,19 +328,23 @@ def dense_stage(
     spec: FlatSpec,
     out_relu: bool = False,
     interpret: Optional[bool] = None,
+    in_relu: bool = True,
 ) -> jnp.ndarray:
     cs = src.shape[0]
+    hs = stage_halo(shifts, spec.P)
     kernel = functools.partial(
         _dense_stage_kernel,
         shifts=shifts,
+        hs=hs,
         P=spec.P,
         core=spec.core,
         Ws=spec.Ws,
         W=spec.W,
         out_relu=out_relu,
+        in_relu=in_relu,
     )
     return _run_stage(
-        kernel, src, (q.astype(src.dtype), bias), q.shape[0], spec,
+        kernel, src, (q.astype(src.dtype), bias), q.shape[0], hs, spec,
         [pltpu.VMEM((len(shifts) * cs, spec.chunk), src.dtype)], interpret,
     )
 
@@ -312,8 +389,9 @@ def dense_stage_weights(conv_k, bn_scale, bn_bias, bn_mean, bn_var):
 # ----------------------------------------------------------- DAG runner
 
 
-def _apply_conv_op(name: str, variables, src_relu, spec, interpret):
-    """One primitive op on a flat, already-ReLU'd state."""
+def _apply_conv_op(name: str, variables, src, spec, interpret):
+    """One primitive op on a flat RAW (pre-ReLU) state; the leading ReLU of
+    the primitive is folded into the first stage's kernel (in_relu)."""
     p = variables["params"]
     st = variables["batch_stats"]
     if name in ("sep_conv_3x3", "sep_conv_5x5"):
@@ -324,13 +402,16 @@ def _apply_conv_op(name: str, variables, src_relu, spec, interpret):
             p["bn1"]["scale"], p["bn1"]["bias"],
             st["bn1"]["mean"], st["bn1"]["var"],
         )
-        mid = sep_stage(src_relu, dwk1, pw1, b1, shifts, spec, True, interpret)
+        mid = sep_stage(src, dwk1, pw1, b1, shifts, spec, True, interpret)
         dwk2, pw2, b2 = sep_stage_weights(
             p["dw2"]["kernel"], p["pw2"]["kernel"],
             p["bn2"]["scale"], p["bn2"]["bias"],
             st["bn2"]["mean"], st["bn2"]["var"],
         )
-        return sep_stage(mid, dwk2, pw2, b2, shifts, spec, False, interpret)
+        # mid already carries the inter-stage ReLU (out_relu above)
+        return sep_stage(
+            mid, dwk2, pw2, b2, shifts, spec, False, interpret, in_relu=False
+        )
     if name in ("dil_conv_3x3", "dil_conv_5x5"):
         k = 3 if name.endswith("3x3") else 5
         shifts = tuple(
@@ -341,7 +422,7 @@ def _apply_conv_op(name: str, variables, src_relu, spec, interpret):
             p["bn"]["scale"], p["bn"]["bias"],
             st["bn"]["mean"], st["bn"]["var"],
         )
-        return dense_stage(src_relu, q, b, shifts, spec, False, interpret)
+        return dense_stage(src, q, b, shifts, spec, False, interpret)
     raise NotImplementedError(name)
 
 
@@ -362,12 +443,6 @@ def run_dag_flat(
     """
     selected = dict(assignment)
     states = [s0, s1]
-    relu_cache: dict = {}
-
-    def relu_of(idx):
-        if idx not in relu_cache:
-            relu_cache[idx] = jnp.maximum(states[idx], 0.0)
-        return relu_cache[idx]
 
     op_i = 0
     offset = 0
@@ -395,7 +470,7 @@ def run_dag_flat(
                 outs.append(to_flat(pooled, spec))
             else:
                 outs.append(
-                    _apply_conv_op(name, v, relu_of(j), spec, interpret)
+                    _apply_conv_op(name, v, states[j], spec, interpret)
                 )
         states.append(sum(outs))
         offset += len(states) - 1

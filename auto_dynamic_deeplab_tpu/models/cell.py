@@ -172,11 +172,14 @@ class FixedCell(nn.Module):
             from ..kernels.cell_ops import (
                 FlatSpec,
                 concat_from_flat,
+                pick_chunk,
                 run_dag_flat,
                 to_flat,
             )
 
-            spec = FlatSpec(H=s1.shape[1], W=s1.shape[2])
+            spec = FlatSpec(
+                H=s1.shape[1], W=s1.shape[2], chunk=pick_chunk(self.C_out)
+            )
             blocks = run_dag_flat(
                 to_flat(s0, spec),
                 to_flat(s1, spec),

@@ -18,8 +18,11 @@ import pytest
 from auto_dynamic_deeplab_tpu.kernels.cell_ops import (
     FlatSpec,
     from_flat,
+    op_taps,
     pad_channels,
+    pick_chunk,
     run_dag_flat,
+    stage_halo,
     to_flat,
     _apply_conv_op,
 )
@@ -96,9 +99,10 @@ def test_conv_stage_matches_xla_primitive(name):
     want = op.apply(variables, x, False)
 
     spec = _spec(H, W)
-    src = jnp.maximum(to_flat(x, spec), 0.0)
+    # raw (pre-ReLU) source: the primitive's leading ReLU is in-kernel now
     got = from_flat(
-        _apply_conv_op(name, variables, src, spec, interpret=True), C, spec
+        _apply_conv_op(name, variables, to_flat(x, spec), spec, interpret=True),
+        C, spec,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
@@ -202,7 +206,36 @@ def test_add_flat_eval_bf16_close_to_fp32_oracle():
         assert err_f <= 2.0 * err_u + 1e-3, (err_f, err_u)
 
 
-def test_flat_eval_init_and_train_untouched_and_batch_fallback():
+@pytest.mark.parametrize(
+    "C,H,W",
+    [(40, 257, 513), (80, 129, 257), (160, 65, 129)],  # flagship @ 1025x2049
+)
+@pytest.mark.parametrize(
+    "name", ["sep_conv_3x3", "sep_conv_5x5", "dil_conv_3x3", "dil_conv_5x5"]
+)
+def test_stage_vmem_budget_at_flagship_sizes(C, H, W, name):
+    """Every fused stage's VMEM footprint (double-buffered source window +
+    im2col scratch + double-buffered out block + weights) must fit the
+    ~16 MB/core budget with margin, at the real F=20 level sizes. This is
+    the failure mode interpret-mode parity tests cannot see."""
+    spec = FlatSpec(H=H, W=W, chunk=pick_chunk(C))
+    cs = pad_channels(C)
+    k = 3 if name.endswith("3x3") else 5
+    dil = 2 if name.startswith("dil") else 1
+    shifts = tuple(dh * spec.Ws + dw for dh, dw in op_taps("x", k, dil))
+    hs = stage_halo(shifts, spec.P)
+    assert hs >= max(max(shifts), -min(shifts))  # window covers every tap
+
+    xwin = 2 * cs * (spec.chunk + 2 * hs) * 2
+    out_blocks = 2 * cs * spec.chunk * 2
+    if name.startswith("dil"):
+        im2col = len(shifts) * cs * spec.chunk * 2
+        weights = cs * len(shifts) * cs * 2 + cs * 4
+    else:
+        im2col = 0
+        weights = cs * len(shifts) * 4 + cs * cs * 2 + cs * 4
+    total = xwin + out_blocks + im2col + weights
+    assert total <= 14 * 2**20, (name, C, H, W, total / 2**20)
     rng = np.random.RandomState(9)
     x1 = jnp.asarray(rng.normal(size=(1, 33, 33, 3)).astype(np.float32))
     x2 = jnp.asarray(rng.normal(size=(2, 33, 33, 3)).astype(np.float32))
