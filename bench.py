@@ -27,7 +27,17 @@ import json
 import os
 import sys
 
+if "--smoke" in sys.argv[1:]:
+    # Smoke mode validates the bench CODE PATH on CPU. The JAX_PLATFORMS
+    # env var alone is not honored when a platform plugin is preloaded
+    # (sitecustomize), and a dead TPU relay hangs backend init — force the
+    # CPU platform through the config API before backend init.
+    os.environ.pop("JAX_PLATFORMS", None)
+
 import jax
+
+if "--smoke" in sys.argv[1:]:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the fused dynamic program takes minutes to
 # compile on a remote-relay TPU; cache it across processes.
@@ -43,7 +53,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
 
 
-def _train_synthetic_edm(model, variables, rng):
+def _train_synthetic_edm(model, variables, rng, size):
     """Real stage-3 EDM weights from a synthetic dataset: features/entropies
     from the frozen backbone's first-exit program on synthetic images
     (train_edm.py:146-185 pipeline, smaller corpus)."""
@@ -53,13 +63,15 @@ def _train_synthetic_edm(model, variables, rng):
     )
 
     images = [
-        {"image": rng.randn(1, 513, 1025, 3).astype(np.float32)} for _ in range(6)
+        {"image": rng.randn(1, *size, 3).astype(np.float32)} for _ in range(6)
     ]
     feats, ents = make_edm_dataset(model, variables, images)
     return train_edm(feats, ents, epochs=60, batch_size=3)
 
 
-def main():
+def main(smoke: bool = False):
+    """smoke=True: tiny shapes / tiny F so the whole surface executes in
+    minutes on CPU — validates the bench code path, not performance."""
     from auto_dynamic_deeplab_tpu.models import ADD
     from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
     from auto_dynamic_deeplab_tpu.train import (
@@ -73,22 +85,28 @@ def main():
 
     rng = np.random.RandomState(0)
     cfg = NETWORK_ARCH[2]
+    F = 2 if smoke else 20
+    eval_hw = (65, 129) if smoke else (1025, 2049)
+    edm_hw = (65, 129) if smoke else (513, 1025)
+    train_hw = (65, 65) if smoke else (769, 769)
+    train_bs = 2 if smoke else 8
+    runs = 1 if smoke else 8
     model = ADD(
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
-        F=20, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
+        F=F, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
     )
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3), jnp.float32), train=False
     )
     xs = [
-        jnp.asarray(rng.randn(1, 1025, 2049, 3).astype(np.float32))
+        jnp.asarray(rng.randn(1, *eval_hw, 3).astype(np.float32))
         for _ in range(4)
     ]
     x = xs[0]
 
     # ---- entropy-gated fused program: per-exit device times ---------------
     engine = DynamicInferenceEngine(model, variables)
-    program = engine.fused_program((1025, 2049), confidence="entropy")
+    program = engine.fused_program(eval_hw, confidence="entropy")
 
     def early(x):  # permissive threshold → exit at the first station
         return program(x, jnp.float32(2.0))
@@ -100,9 +118,15 @@ def main():
     # runtimes re-upload embedded constants every execution (~46 MB here).
     fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
 
-    t_early = trace_and_sum(early, x, runs=8)["total_ms"] / 1000.0
-    t_full = trace_and_sum(full, x, runs=8)["total_ms"] / 1000.0
-    t_fwd = trace_and_sum(fwd, variables, x, runs=8)["total_ms"] / 1000.0
+    # On CPU (smoke) profiler traces carry no device events → 0 ms; clamp so
+    # smoke mode still exercises every downstream formula without dividing
+    # by zero (the smoke numbers are code-path validation, not performance).
+    def _t(r):
+        return max(r["total_ms"], 1e-6) / 1000.0
+
+    t_early = _t(trace_and_sum(early, x, runs=runs))
+    t_full = _t(trace_and_sum(full, x, runs=runs))
+    t_fwd = _t(trace_and_sum(fwd, variables, x, runs=runs))
 
     # ---- entropy threshold sweep: exit rate vs expected latency -----------
     # Exit decisions per image per threshold from the fused program (cheap,
@@ -130,24 +154,18 @@ def main():
         )
 
     # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
-    edm, edm_vars, edm_loss = _train_synthetic_edm(model, variables, rng)
+    edm, edm_vars, edm_loss = _train_synthetic_edm(model, variables, rng, edm_hw)
     edm_engine = DynamicInferenceEngine(
         model, variables, edm=edm, edm_variables=edm_vars
     )
-    edm_prog = edm_engine.fused_program((1025, 2049), confidence="edm")
+    edm_prog = edm_engine.fused_program(eval_hw, confidence="edm")
     confs = [float(np.asarray(edm_prog(xi, jnp.float32(-1e9))[2])) for xi in xs]
     thr_mix = float(np.median(confs))  # EDM exits when conf <= threshold
-    t_edm_early = (
-        trace_and_sum(lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=4)[
-            "total_ms"
-        ]
-        / 1000.0
+    t_edm_early = _t(
+        trace_and_sum(lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=runs)
     )
-    t_edm_full = (
-        trace_and_sum(lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=4)[
-            "total_ms"
-        ]
-        / 1000.0
+    t_edm_full = _t(
+        trace_and_sum(lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=runs)
     )
     edm_rate = float(
         np.mean(
@@ -161,22 +179,22 @@ def main():
     # ---- training throughput: stage-2 step at 769x769 bf16 ----------------
     train_model = ADD(
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
-        F=20, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
+        F=F, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
         remat=True,
     )
-    bs = 8
+    bs = train_bs
     tx = make_optimizer(lr_schedule("poly", 0.05, 100, 100), weight_decay=4e-5)
     state = create_train_state(
         train_model,
         jax.random.PRNGKey(0),
-        jnp.zeros((1, 769, 769, 3), jnp.float32),
+        jnp.zeros((1, *train_hw, 3), jnp.float32),
         tx,
     )
     step = make_single_device_train_step(train_model, tx)
     batch = {
-        "image": jnp.asarray(rng.randn(bs, 769, 769, 3).astype(np.float32)),
+        "image": jnp.asarray(rng.randn(bs, *train_hw, 3).astype(np.float32)),
         "label": jnp.asarray(
-            rng.randint(0, 19, size=(bs, 769, 769)).astype(np.int32)
+            rng.randint(0, 19, size=(bs, *train_hw)).astype(np.int32)
         ),
     }
     # the step donates its state argument: chain states across timed calls
@@ -186,12 +204,15 @@ def main():
         holder["state"], metrics = step(holder["state"], batch)
         return metrics
 
-    t_train = trace_and_sum(timed_step, 0, runs=4)["total_ms"] / 1000.0
+    t_train = _t(trace_and_sum(timed_step, 0, runs=runs))
 
     print(
         json.dumps(
             {
-                "metric": "add_c2_dynamic_earlyexit_1025x2049_b1",
+                "metric": (
+                    "SMOKE_add_c2_dynamic_earlyexit" if smoke
+                    else "add_c2_dynamic_earlyexit_1025x2049_b1"
+                ),
                 "value": round(1.0 / t_early, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(t_full / t_early, 4),
@@ -220,4 +241,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(smoke="--smoke" in sys.argv[1:])

@@ -33,12 +33,17 @@ def main():
     x = jnp.asarray(
         np.random.RandomState(0).randn(1, 1025, 2049, 3).astype(np.float32)
     )
+    variants = {
+        "xla": {},
+        "packed": {"packed_eval": True},
+        "flat": {"flat_eval": True},
+    }
     results = {}
-    for flat in (False, True):
+    for name, kw in variants.items():
         model = ADD(
             cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
             F=20, B=5, low_level_layer=cfg["low_level_layer"],
-            dtype=jnp.bfloat16, flat_eval=flat,
+            dtype=jnp.bfloat16, **kw,
         )
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3), jnp.float32),
@@ -55,19 +60,18 @@ def main():
 
         r_early = trace_and_sum(early, x, runs=5)
         r_full = trace_and_sum(full, x, runs=5)
-        results[flat] = (r_early, r_full)
-        print(f"\n=== flat_eval={flat} ===")
+        results[name] = (r_early, r_full)
+        print(f"\n=== {name} ===")
         print("early-exit:", r_early["total_ms"], "ms/run")
         print("full-depth:", r_full["total_ms"], "ms/run")
-        if flat:
+        if name == "flat":
             pretty(r_early, top=25)
 
-    e0 = results[False][0]["total_ms"]
-    e1 = results[True][0]["total_ms"]
-    f0 = results[False][1]["total_ms"]
-    f1 = results[True][1]["total_ms"]
-    print(f"\nearly-exit: {e0:.2f} -> {e1:.2f} ms ({e0 / e1:.2f}x)")
-    print(f"full-depth: {f0:.2f} -> {f1:.2f} ms ({f0 / f1:.2f}x)")
+    e0, f0 = (results["xla"][i]["total_ms"] for i in (0, 1))
+    for name in ("packed", "flat"):
+        e1, f1 = (results[name][i]["total_ms"] for i in (0, 1))
+        print(f"\n{name}: early-exit {e0:.2f} -> {e1:.2f} ms ({e0 / e1:.2f}x), "
+              f"full-depth {f0:.2f} -> {f1:.2f} ms ({f0 / f1:.2f}x)")
 
 
 if __name__ == "__main__":
