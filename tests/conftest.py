@@ -9,13 +9,19 @@ import os
 # The harness may pin JAX_PLATFORMS to a TPU tunnel; tests always run on a
 # virtual 8-device CPU backend (the env var alone is not honored when a
 # platform plugin is preloaded, so use the config API as well).
-os.environ.pop("JAX_PLATFORMS", None)
+# Escape hatch: ADD_TPU_TESTS=1 keeps the real backend so the
+# compiled-Mosaic parity tests (skipif backend not tpu/axon) can run:
+#   ADD_TPU_TESTS=1 pytest tests -k on_tpu
+_ON_TPU = os.environ.get("ADD_TPU_TESTS") == "1"
+if not _ON_TPU:
+    os.environ.pop("JAX_PLATFORMS", None)
 os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: the model tests compile large graphs; reruns
 # drop from ~27 min to a few minutes.
 jax.config.update("jax_compilation_cache_dir", "/tmp/add_tpu_jax_cache")

@@ -251,3 +251,52 @@ def test_stage_vmem_budget_at_flagship_sizes(C, H, W, name):
     got = flat.apply(variables, x2, False)
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="compiled Mosaic parity needs a real TPU (axon = TPU relay); "
+    "run with ADD_TPU_TESTS=1",
+)
+def test_run_dag_flat_compiled_matches_unfused_on_tpu():
+    """COMPILED (interpret=False) flat cell DAG vs the XLA op loop on the
+    chip. Exercises the HBM->VMEM windowed DMA, the in-kernel ReLU fold,
+    and Mosaic lowering of the lane-shift slices — none of which interpret
+    mode models faithfully."""
+    rng = np.random.RandomState(11)
+    B, C, H, W = 5, 40, 65, 129  # real flagship channel count, level-3 size
+    geno = as_genotype_rows(AUTODEEPLAB_GENOTYPE)
+    assignment = edge_op_assignment(geno)
+    s0 = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    s1 = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+
+    ops, op_vars = [], []
+    for k, (_, opi) in enumerate(assignment):
+        op = OPS[PRIMITIVES[opi]](C, 1)
+        v = op.init(jax.random.PRNGKey(300 + k), s0, False)
+        ops.append(op)
+        op_vars.append(_randomize_bn(v, rng))
+
+    selected = dict(assignment)
+    states = [s0, s1]
+    it = iter(range(len(ops)))
+    offset = 0
+    for _ in range(B):
+        outs = []
+        for j in range(len(states)):
+            if (offset + j) in selected:
+                k = next(it)
+                outs.append(ops[k].apply(op_vars[k], states[j], False))
+        states.append(sum(outs))
+        offset += len(states) - 1
+    want = jnp.concatenate(states[2:], axis=-1)
+
+    spec = FlatSpec(H=H, W=W, chunk=pick_chunk(C))
+    blocks = run_dag_flat(
+        to_flat(s0, spec), to_flat(s1, spec), assignment, B, op_vars,
+        PRIMITIVES, spec, interpret=False,
+    )
+    got = jnp.concatenate([from_flat(b, C, spec) for b in blocks], axis=-1)
+    a, b = np.asarray(want, np.float32), np.asarray(got, np.float32)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.02, rel
