@@ -28,6 +28,14 @@ def build_parser():
     p.add_argument("--edm-resume", default=None, help="stage-3 experiment dir")
     p.add_argument("--genotype", default=None)
     p.add_argument("--flops", action="store_true")
+    p.add_argument(
+        "--cell-exec",
+        default="xla",
+        choices=["xla", "packed", "flat"],
+        help="eval-path cell execution: plain XLA ops, wave-packed "
+        "block-diag matmuls (ops/packed.py), or fused flat-layout Pallas "
+        "DAG kernels (kernels/cell_ops.py; TPU, batch-1)",
+    )
     return p
 
 
@@ -47,8 +55,12 @@ def main(argv=None):
     )
 
     model_cls = ADD if args.network == "ADD" else BaselineModel
+    exec_kw = {
+        "packed": {"packed_eval": True},
+        "flat": {"flat_eval": True},
+    }.get(args.cell_exec, {})
     model = model_cls(path, C_index, genotype, nclass, F=args.F, B=args.B,
-                      low_level_layer=low_level_layer)
+                      low_level_layer=low_level_layer, **exec_kw)
     from ..data.loader import peek_batch
 
     sample = peek_batch(val_loader)["image"][:1]
