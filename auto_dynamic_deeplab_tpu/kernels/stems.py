@@ -206,18 +206,23 @@ def _stems_kernel(
     jax.lax.fori_loop(0, TS1, s1_row, 0)
 
 
+def _round_up8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 def _conv_out(n: int) -> int:
     """Output size of k=3 s=2 p=1 (PyTorch conv arithmetic)."""
     return (n - 1) // 2 + 1
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "TS1"))
 def fused_stems(
     x: jnp.ndarray,           # (1, H, W, 3) any float dtype
     w0, bn0_s, bn0_b,         # (3,3,3,64) conv + folded bn (64,)
     w1, bn1_s, bn1_b,         # (3,3,64,64) + (64,)
     w2, bn2_s, bn2_b,         # (3,3,64,128) + (128,)
     interpret: bool = False,
+    TS1: int = 2,             # s1 rows per grid tile (VMEM grows with TS1)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (s0 (1,H0,W0,64) bf16 pre-relu, s1 (1,H1,W1,128) bf16)."""
     _, H, W, _ = x.shape
@@ -225,10 +230,9 @@ def fused_stems(
     H1, W1 = _conv_out(H0), _conv_out(W0)
     W0p = -(-(W0 + 2) // 8) * 8       # 8-aligned, even, >= W0+1
 
-    TS1 = 2
     TS0 = 2 * TS1
     NA0 = TS0 + 3
-    NR = 2 * NA0 + 2          # x rows per tile (8-aligned: 16 for TS1=2)
+    NR = _round_up8(2 * NA0 + 2)  # x rows per tile, 8-aligned
     assert NR % 8 == 0
     grid = pl.cdiv(H1, TS1)
 

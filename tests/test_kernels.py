@@ -68,6 +68,27 @@ class TestFusedStems:
             rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
             assert rel < 0.02, (name, rel)
 
+    @pytest.mark.parametrize("ts1", [1, 3, 4, 8])
+    def test_ts1_tile_sizes_match(self, ts1):
+        """TS1 (rows per grid tile) is a pure perf knob: every value must
+        produce the same stems, including TS1 that does not divide H1 and
+        NR values that need 8-alignment rounding."""
+        from auto_dynamic_deeplab_tpu.kernels.stems import (
+            fold_stem_bns,
+            fused_stems,
+        )
+        from auto_dynamic_deeplab_tpu.models.decoded import _Stems
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 65, 97, 3).astype(np.float32))
+        stems = _Stems(dtype=jnp.bfloat16)
+        variables = stems.init(jax.random.PRNGKey(0), x, False)
+        args = fold_stem_bns(variables["params"], variables["batch_stats"])
+        s0_ref, s1_ref = fused_stems(x, *args, interpret=True, TS1=2)
+        s0_k, s1_k = fused_stems(x, *args, interpret=True, TS1=ts1)
+        np.testing.assert_array_equal(np.asarray(s0_k), np.asarray(s0_ref))
+        np.testing.assert_array_equal(np.asarray(s1_k), np.asarray(s1_ref))
+
 
 @pytest.mark.skipif(
     jax.default_backend() not in ("tpu", "axon"),
