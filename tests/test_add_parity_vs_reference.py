@@ -299,3 +299,42 @@ def test_dynamic_inference_behavior_vs_reference(monkeypatch):
     np.testing.assert_allclose(
         np.transpose(t_fwd[0], (0, 2, 3, 1)), ours[0], rtol=1e-3, atol=1e-3
     )
+
+
+@pytest.mark.fast
+def test_edm_golden_parity_vs_torch_reference():
+    """Our flax EDM == the reference torch EDM (ADD.py:502-525) with the
+    same weights: relu -> conv(400->128, 3, s2, p1, no bias) -> relu -> GAP
+    -> MLP(128-64-32-1) with interleaved ReLUs."""
+    from modeling.ADD import EDM as TorchEDM
+
+    from auto_dynamic_deeplab_tpu.models import EDM
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 9, 13, 400).astype(np.float32)
+
+    edm = EDM()
+    variables = edm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # randomize so zero-init biases don't mask transpose mistakes
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.2),
+        variables,
+    )
+    p = jax.device_get(variables["params"])
+
+    t = TorchEDM()
+    with torch.no_grad():
+        t.conv.weight.copy_(
+            torch.from_numpy(np.transpose(p["conv"]["kernel"], (3, 2, 0, 1)))
+        )
+        for i, fc in enumerate(("fc1", "fc2", "fc3")):
+            t.edm[2 * i].weight.copy_(
+                torch.from_numpy(p[fc]["kernel"].T.copy())
+            )
+            t.edm[2 * i].bias.copy_(torch.from_numpy(p[fc]["bias"]))
+    t.eval()
+
+    with torch.no_grad():
+        want = t(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    got = np.asarray(edm.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
