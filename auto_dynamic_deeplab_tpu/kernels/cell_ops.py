@@ -129,6 +129,17 @@ def _valid_mask(base, P, core, Ws, W, CHUNK):
     return jnp.logical_and(g < core, jax.lax.rem(g, Ws) < W)
 
 
+def _valid_mask_ext(base, P, core, Ws, W, M):
+    """Like _valid_mask but for extended (halo-overlapping) regions where
+    positions left of the core (g < 0) must also be zeroed — the fused
+    sep kernel evaluates stage 1 there, and BN bias + ReLU would otherwise
+    make those halo lanes nonzero for stage 2's taps."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    g = base - P + lane
+    ok = jnp.logical_and(g >= 0, g < core)
+    return jnp.logical_and(ok, jax.lax.rem(g, Ws) < W)
+
+
 def stage_halo(shifts: Tuple[int, ...], P: int) -> int:
     """DMA window halo for one stage: the largest |lane shift|, rounded up
     so window starts stay 512-lane aligned, clamped to P (P >= the worst
@@ -254,6 +265,109 @@ def _dense_stage_kernel(
         out_ref[:] = y.astype(out_ref.dtype)
 
     _stream_blocks(src_hbm, xwin, sem, P, CHUNK, hs, compute, out_ref)
+
+
+def _sep_fused_kernel(
+    src_hbm,    # (CS, L) RAW source state in HBM
+    dwk1_ref, pw1_ref, b1_ref,   # stage-1 folded weights
+    dwk2_ref, pw2_ref, b2_ref,   # stage-2 folded weights
+    out_ref,    # block (OS, CHUNK)
+    xwin,       # scratch (2, CS, CHUNK + 2*hs)
+    sem,        # DMA semaphores (2,)
+    mid_ref,    # scratch (CS, CHUNK + 2*E2) bf16/out-dtype intermediate
+    *,
+    shifts: Tuple[int, ...],
+    hs: int,
+    E2: int,    # stage-2 tap reach, 128-aligned
+    P: int,
+    core: int,
+    Ws: int,
+    W: int,
+):
+    """Both SepConv stages in ONE kernel (halo recompute): stage 1 is
+    evaluated on the extended region [base-E2, base+CHUNK+E2) so stage 2
+    never reads the intermediate from HBM. mid is masked, ReLU'd, and cast
+    to the out dtype in-register — numerically identical to the two-pass
+    path that writes/rereads a bf16 state."""
+    CHUNK = out_ref.shape[1]
+    M = mid_ref.shape[1]
+    base = pl.program_id(0) * CHUNK
+
+    def compute(win):
+        s = jnp.maximum(win[:], 0)
+        acc = jnp.zeros((win.shape[0], M), jnp.float32)
+        for t, sh in enumerate(shifts):
+            off = hs - E2 + sh
+            acc = acc + (
+                s[:, off : off + M].astype(jnp.float32) * dwk1_ref[:, t : t + 1]
+            )
+        y1 = jax.lax.dot_general(
+            pw1_ref[:], acc.astype(out_ref.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y1 = y1 + b1_ref[:]
+        y1 = jnp.where(_valid_mask_ext(base - E2, P, core, Ws, W, M), y1, 0.0)
+        mid_ref[:] = jnp.maximum(y1, 0.0).astype(out_ref.dtype)
+
+        acc2 = jnp.zeros((mid_ref.shape[0], CHUNK), jnp.float32)
+        for t, sh in enumerate(shifts):
+            seg = mid_ref[:, E2 + sh : E2 + sh + CHUNK]
+            acc2 = acc2 + seg.astype(jnp.float32) * dwk2_ref[:, t : t + 1]
+        y = jax.lax.dot_general(
+            pw2_ref[:], acc2.astype(out_ref.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y = y + b2_ref[:]
+        y = jnp.where(_valid_mask(base, P, core, Ws, W, CHUNK), y, 0.0)
+        out_ref[:] = y.astype(out_ref.dtype)
+
+    _stream_blocks(src_hbm, xwin, sem, P, CHUNK, hs, compute, out_ref)
+
+
+def sep_fused(
+    src: jnp.ndarray,          # (CS, L) RAW source
+    w1, w2,                    # (dwk, pw, bias) tuples from sep_stage_weights
+    shifts: Tuple[int, ...],
+    spec: FlatSpec,
+    interpret: Optional[bool] = None,
+):
+    """Fused two-stage SepConv; returns None if the spec's halo budget
+    cannot cover the recompute reach (caller falls back to two passes)."""
+    smax = max(max(shifts), -min(shifts), 0)
+    E2 = _round_up(smax, 128)
+    hs = min(_round_up(smax + E2, 512), spec.P)
+    if hs < smax + E2:
+        return None
+    dwk1, pw1, b1 = w1
+    dwk2, pw2, b2 = w2
+    kernel = functools.partial(
+        _sep_fused_kernel,
+        shifts=shifts,
+        hs=hs,
+        E2=E2,
+        P=spec.P,
+        core=spec.core,
+        Ws=spec.Ws,
+        W=spec.W,
+    )
+    if interpret is None:
+        interpret = default_interpret()
+    os_ = pw2.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(spec.L // spec.chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((os_, spec.chunk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((os_, spec.L), src.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, src.shape[0], spec.chunk + 2 * hs), src.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((pw1.shape[0], spec.chunk + 2 * E2), src.dtype),
+        ],
+        interpret=interpret,
+    )(src, dwk1, pw1.astype(src.dtype), b1, dwk2, pw2.astype(src.dtype), b2)
+
 
 
 def default_interpret() -> bool:
@@ -397,20 +511,23 @@ def _apply_conv_op(name: str, variables, src, spec, interpret):
     if name in ("sep_conv_3x3", "sep_conv_5x5"):
         k = 3 if name.endswith("3x3") else 5
         shifts = tuple(dh * spec.Ws + dw for dh, dw in op_taps("sep", k))
-        dwk1, pw1, b1 = sep_stage_weights(
+        w1 = sep_stage_weights(
             p["dw1"]["kernel"], p["pw1"]["kernel"],
             p["bn1"]["scale"], p["bn1"]["bias"],
             st["bn1"]["mean"], st["bn1"]["var"],
         )
-        mid = sep_stage(src, dwk1, pw1, b1, shifts, spec, True, interpret)
-        dwk2, pw2, b2 = sep_stage_weights(
+        w2 = sep_stage_weights(
             p["dw2"]["kernel"], p["pw2"]["kernel"],
             p["bn2"]["scale"], p["bn2"]["bias"],
             st["bn2"]["mean"], st["bn2"]["var"],
         )
-        # mid already carries the inter-stage ReLU (out_relu above)
+        fused = sep_fused(src, w1, w2, shifts, spec, interpret)
+        if fused is not None:
+            return fused
+        # halo budget too small for the fused recompute: two passes
+        mid = sep_stage(src, *w1, shifts, spec, True, interpret)
         return sep_stage(
-            mid, dwk2, pw2, b2, shifts, spec, False, interpret, in_relu=False
+            mid, *w2, shifts, spec, False, interpret, in_relu=False
         )
     if name in ("dil_conv_3x3", "dil_conv_5x5"):
         k = 3 if name.endswith("3x3") else 5

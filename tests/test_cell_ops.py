@@ -223,18 +223,24 @@ def test_stage_vmem_budget_at_flagship_sizes(C, H, W, name):
     k = 3 if name.endswith("3x3") else 5
     dil = 2 if name.startswith("dil") else 1
     shifts = tuple(dh * spec.Ws + dw for dh, dw in op_taps("x", k, dil))
-    hs = stage_halo(shifts, spec.P)
-    assert hs >= max(max(shifts), -min(shifts))  # window covers every tap
+    smax = max(max(shifts), -min(shifts))
 
-    xwin = 2 * cs * (spec.chunk + 2 * hs) * 2
     out_blocks = 2 * cs * spec.chunk * 2
     if name.startswith("dil"):
-        im2col = len(shifts) * cs * spec.chunk * 2
+        hs = stage_halo(shifts, spec.P)
+        assert hs >= smax  # window covers every tap
+        xwin = 2 * cs * (spec.chunk + 2 * hs) * 2
+        scratch = len(shifts) * cs * spec.chunk * 2  # im2col
         weights = cs * len(shifts) * cs * 2 + cs * 4
     else:
-        im2col = 0
-        weights = cs * len(shifts) * 4 + cs * cs * 2 + cs * 4
-    total = xwin + out_blocks + im2col + weights
+        # fused two-stage SepConv (sep_fused): bigger halo + mid scratch
+        e2 = -(-smax // 128) * 128
+        hs = min(-(-(smax + e2) // 512) * 512, spec.P)
+        assert hs >= smax + e2, "fused path must be taken at real sizes"
+        xwin = 2 * cs * (spec.chunk + 2 * hs) * 2
+        scratch = cs * (spec.chunk + 2 * e2) * 2  # mid
+        weights = 2 * (cs * len(shifts) * 4 + cs * cs * 2 + cs * 4)
+    total = xwin + out_blocks + scratch + weights
     assert total <= 14 * 2**20, (name, C, H, W, total / 2**20)
     rng = np.random.RandomState(9)
     x1 = jnp.asarray(rng.normal(size=(1, 33, 33, 3)).astype(np.float32))
