@@ -55,9 +55,11 @@ def _round_up(x: int, m: int) -> int:
 
 def pick_chunk(C: int) -> int:
     """Largest lane block keeping the worst stage (dil5 im2col: 25*CS*chunk
-    bf16 scratch) within ~8 MB of VMEM, leaving room for the DMA windows."""
+    bf16 scratch) within ~10 MB of VMEM — the windows/outputs/weights add
+    <3 MB on top (test_stage_vmem_budget_at_flagship_sizes). Bigger blocks
+    mean fewer grid steps and lower halo read amplification."""
     cs = pad_channels(C)
-    limit = 8 * 2**20
+    limit = 10 * 2**20
     for chunk in (4096, 2048, 1024):
         if 25 * cs * chunk * 2 <= limit:
             return chunk
