@@ -46,11 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stems import fold_bn
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from .stems import _round_up, fold_bn
 
 
 def pick_chunk(C: int) -> int:
@@ -149,6 +145,18 @@ def stage_halo(shifts: Tuple[int, ...], P: int) -> int:
     it only matters for tiny test chunks where P < 512)."""
     smax = max(max(shifts), -min(shifts), 0)
     return min(_round_up(max(smax, 1), 512), P)
+
+
+def sep_fused_halo(shifts: Tuple[int, ...], P: int) -> Tuple[int, int]:
+    """(E2, hs) for the fused two-stage SepConv kernel: E2 is the stage-2
+    tap reach (128-aligned, sizes the mid scratch), hs the source window
+    halo covering stage 1's reach over the extended mid region (512-aligned
+    DMA starts, clamped to P). Shared with the VMEM-budget test so the
+    modeled window never drifts from the kernel's."""
+    smax = max(max(shifts), -min(shifts), 0)
+    E2 = _round_up(smax, 128)
+    hs = min(_round_up(smax + E2, 512), P)
+    return E2, hs
 
 
 def _window_dma(src_hbm, xwin, sem, i, chunk, hs, slot):
@@ -336,8 +344,7 @@ def sep_fused(
     """Fused two-stage SepConv; returns None if the spec's halo budget
     cannot cover the recompute reach (caller falls back to two passes)."""
     smax = max(max(shifts), -min(shifts), 0)
-    E2 = _round_up(smax, 128)
-    hs = min(_round_up(smax + E2, 512), spec.P)
+    E2, hs = sep_fused_halo(shifts, spec.P)
     if hs < smax + E2:
         return None
     dwk1, pw1, b1 = w1

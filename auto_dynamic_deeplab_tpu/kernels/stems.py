@@ -206,8 +206,12 @@ def _stems_kernel(
     jax.lax.fori_loop(0, TS1, s1_row, 0)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _round_up8(n: int) -> int:
-    return -(-n // 8) * 8
+    return _round_up(n, 8)
 
 
 def _conv_out(n: int) -> int:
@@ -230,6 +234,9 @@ def fused_stems(
     H1, W1 = _conv_out(H0), _conv_out(W0)
     W0p = -(-(W0 + 2) // 8) * 8       # 8-aligned, even, >= W0+1
 
+    # DMA row starts are 2*TS0*a = 4*TS1*a: 8-aligned for all grid steps
+    # only when TS1 is even (odd TS1 would start copies at rows ≡4 mod 8).
+    assert TS1 % 2 == 0, f"TS1 must be even, got {TS1}"
     TS0 = 2 * TS1
     NA0 = TS0 + 3
     NR = _round_up8(2 * NA0 + 2)  # x rows per tile, 8-aligned

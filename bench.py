@@ -91,6 +91,7 @@ def main(smoke: bool = False):
     train_hw = (65, 65) if smoke else (769, 769)
     train_bs = 2 if smoke else 8
     runs = 1 if smoke else 8
+    runs_slow = 1 if smoke else 4  # EDM programs + train step (pre-smoke counts)
     model = ADD(
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
         F=F, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
@@ -121,7 +122,11 @@ def main(smoke: bool = False):
     # On CPU (smoke) profiler traces carry no device events → 0 ms; clamp so
     # smoke mode still exercises every downstream formula without dividing
     # by zero (the smoke numbers are code-path validation, not performance).
+    # On the real backend an empty trace is a measurement failure (e.g. a
+    # relay outage mid-bench) and must fail loudly, not record garbage.
     def _t(r):
+        if not smoke and r["total_ms"] <= 0.0:
+            raise RuntimeError("empty device trace: refusing to report 0 ms")
         return max(r["total_ms"], 1e-6) / 1000.0
 
     t_early = _t(trace_and_sum(early, x, runs=runs))
@@ -162,10 +167,10 @@ def main(smoke: bool = False):
     confs = [float(np.asarray(edm_prog(xi, jnp.float32(-1e9))[2])) for xi in xs]
     thr_mix = float(np.median(confs))  # EDM exits when conf <= threshold
     t_edm_early = _t(
-        trace_and_sum(lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=runs)
+        trace_and_sum(lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=runs_slow)
     )
     t_edm_full = _t(
-        trace_and_sum(lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=runs)
+        trace_and_sum(lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=runs_slow)
     )
     edm_rate = float(
         np.mean(
@@ -204,7 +209,7 @@ def main(smoke: bool = False):
         holder["state"], metrics = step(holder["state"], batch)
         return metrics
 
-    t_train = _t(trace_and_sum(timed_step, 0, runs=runs))
+    t_train = _t(trace_and_sum(timed_step, 0, runs=runs_slow))
 
     print(
         json.dumps(

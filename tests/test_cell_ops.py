@@ -22,6 +22,7 @@ from auto_dynamic_deeplab_tpu.kernels.cell_ops import (
     pad_channels,
     pick_chunk,
     run_dag_flat,
+    sep_fused_halo,
     stage_halo,
     to_flat,
     _apply_conv_op,
@@ -234,14 +235,16 @@ def test_stage_vmem_budget_at_flagship_sizes(C, H, W, name):
         weights = cs * len(shifts) * cs * 2 + cs * 4
     else:
         # fused two-stage SepConv (sep_fused): bigger halo + mid scratch
-        e2 = -(-smax // 128) * 128
-        hs = min(-(-(smax + e2) // 512) * 512, spec.P)
+        e2, hs = sep_fused_halo(shifts, spec.P)
         assert hs >= smax + e2, "fused path must be taken at real sizes"
         xwin = 2 * cs * (spec.chunk + 2 * hs) * 2
         scratch = cs * (spec.chunk + 2 * e2) * 2  # mid
         weights = 2 * (cs * len(shifts) * 4 + cs * cs * 2 + cs * 4)
     total = xwin + out_blocks + scratch + weights
     assert total <= 14 * 2**20, (name, C, H, W, total / 2**20)
+
+
+def test_flat_eval_init_and_train_untouched_and_batch_fallback():
     rng = np.random.RandomState(9)
     x1 = jnp.asarray(rng.normal(size=(1, 33, 33, 3)).astype(np.float32))
     x2 = jnp.asarray(rng.normal(size=(2, 33, 33, 3)).astype(np.float32))

@@ -68,11 +68,12 @@ class TestFusedStems:
             rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
             assert rel < 0.02, (name, rel)
 
-    @pytest.mark.parametrize("ts1", [1, 3, 4, 8])
+    @pytest.mark.parametrize("ts1", [4, 6, 8, 16])
     def test_ts1_tile_sizes_match(self, ts1):
-        """TS1 (rows per grid tile) is a pure perf knob: every value must
-        produce the same stems, including TS1 that does not divide H1 and
-        NR values that need 8-alignment rounding."""
+        """TS1 (rows per grid tile) is a pure perf knob: every even value
+        must produce the same stems, including TS1 that does not divide H1
+        and NR values that need 8-alignment rounding. Odd TS1 is rejected
+        (input DMA row starts 4*TS1*a would lose 8-alignment)."""
         from auto_dynamic_deeplab_tpu.kernels.stems import (
             fold_stem_bns,
             fused_stems,
@@ -88,6 +89,8 @@ class TestFusedStems:
         s0_k, s1_k = fused_stems(x, *args, interpret=True, TS1=ts1)
         np.testing.assert_array_equal(np.asarray(s0_k), np.asarray(s0_ref))
         np.testing.assert_array_equal(np.asarray(s1_k), np.asarray(s1_ref))
+        with pytest.raises(AssertionError, match="even"):
+            fused_stems(x, *args, interpret=True, TS1=3)
 
 
 @pytest.mark.skipif(

@@ -104,10 +104,16 @@ def test_two_process_data_parallel_train_step(tmp_path):
             )
         )
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1500)
-        outs.append(out)
-        assert p.returncode == 0, out[-3000:]
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+            assert p.returncode == 0, out[-3000:]
+    finally:
+        for p in procs:  # reap the sibling if one child hung or failed
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
 
     per_proc = {}
     for out in outs:
