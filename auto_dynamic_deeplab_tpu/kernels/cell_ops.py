@@ -472,6 +472,266 @@ def dense_stage(
     )
 
 
+# ----------------------------------------------------- fused block kernel
+#
+# One pallas_call per DAG *block*: both selected edges (sep/dil/skip) are
+# evaluated from their own HBM source windows and summed in f32 in-register
+# — the XLA block-sum (2 reads + 1 write of a full state per block) and the
+# per-edge output round-trips disappear. Pools (and halo-starved specs)
+# fall back to the per-op path for that block.
+
+_EDGE_KINDS = {
+    "sep_conv_3x3": ("sep", 3, 1),
+    "sep_conv_5x5": ("sep", 5, 1),
+    "dil_conv_3x3": ("dil", 3, 2),
+    "dil_conv_5x5": ("dil", 5, 2),
+    "skip_connect": ("skip", 0, 0),
+}
+
+
+def _edge_plan(name: str, spec: FlatSpec):
+    """(kind, shifts, hs, E2) for one fused-block edge; None when the
+    primitive cannot run in the block kernel (pools / clamped halos)."""
+    if name not in _EDGE_KINDS:
+        return None
+    kind, k, dil = _EDGE_KINDS[name]
+    if kind == "skip":
+        return ("skip", (), min(512, spec.P), 0)
+    shifts = tuple(
+        dh * spec.Ws + dw for dh, dw in op_taps(kind, k, dilation=dil)
+    )
+    smax = max(max(shifts), -min(shifts), 0)
+    if kind == "sep":
+        E2, hs = sep_fused_halo(shifts, spec.P)
+        if hs < smax + E2:
+            return None
+        return ("sep", shifts, hs, E2)
+    hs = stage_halo(shifts, spec.P)
+    if hs < smax:
+        return None
+    return ("dil", shifts, hs, 0)
+
+
+def _block_kernel(
+    *refs,
+    plans: Tuple,            # per edge: (kind, shifts, hs, E2)
+    nw: Tuple[int, ...],     # weight-ref count per edge
+    P: int,
+    core: int,
+    Ws: int,
+    W: int,
+    SB: int,                 # dil im2col sub-chunk
+):
+    n = len(plans)
+    srcs = refs[:n]
+    w_off = n
+    out_ref = refs[n + sum(nw)]
+    scr = list(refs[n + sum(nw) + 1 :])
+    xwins = scr[:n]
+    sem = scr[n]
+    scr = scr[n + 1 :]
+    mids = {}
+    for e, (kind, _, _, _) in enumerate(plans):
+        if kind == "sep":
+            mids[e] = scr.pop(0)
+    xt = scr.pop(0) if any(p[0] == "dil" for p in plans) else None
+
+    CHUNK = out_ref.shape[1]
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    pb = P // CHUNK
+    in_core = jnp.logical_and(i >= pb, i < nblk - pb)
+    base = i * CHUNK
+
+    def dma(e, j, slot):
+        hs = plans[e][2]
+        return pltpu.make_async_copy(
+            srcs[e].at[:, pl.ds(j * CHUNK - hs, xwins[e].shape[2])],
+            xwins[e].at[slot],
+            sem.at[slot, e],
+        )
+
+    @pl.when(i == pb)
+    def _():
+        for e in range(n):
+            dma(e, i, i % 2).start()
+
+    @pl.when(jnp.logical_and(in_core, i + 1 < nblk - pb))
+    def _():
+        for e in range(n):
+            dma(e, i + 1, (i + 1) % 2).start()
+
+    @pl.when(jnp.logical_not(in_core))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(in_core)
+    def _():
+        for e in range(n):
+            dma(e, i, i % 2).wait()
+        acc = jnp.zeros((out_ref.shape[0], CHUNK), jnp.float32)
+        woff = w_off
+        for e, (kind, shifts, hs, E2) in enumerate(plans):
+            win = xwins[e][i % 2]
+            w = refs[woff : woff + nw[e]]
+            woff += nw[e]
+            if kind == "skip":
+                acc = acc + win[:, hs : hs + CHUNK].astype(jnp.float32)
+                continue
+            if kind == "sep":
+                dwk1, pw1, b1, dwk2, pw2, b2 = w
+                s = jnp.maximum(win[:], 0)
+                M = mids[e].shape[1]
+                a1 = jnp.zeros((win.shape[0], M), jnp.float32)
+                for t, sh in enumerate(shifts):
+                    off = hs - E2 + sh
+                    a1 = a1 + (
+                        s[:, off : off + M].astype(jnp.float32)
+                        * dwk1[:, t : t + 1]
+                    )
+                y1 = jax.lax.dot_general(
+                    pw1[:], a1.astype(out_ref.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + b1[:]
+                y1 = jnp.where(
+                    _valid_mask_ext(base - E2, P, core, Ws, W, M), y1, 0.0
+                )
+                mids[e][:] = jnp.maximum(y1, 0.0).astype(out_ref.dtype)
+                a2 = jnp.zeros((mids[e].shape[0], CHUNK), jnp.float32)
+                for t, sh in enumerate(shifts):
+                    seg = mids[e][:, E2 + sh : E2 + sh + CHUNK]
+                    a2 = a2 + seg.astype(jnp.float32) * dwk2[:, t : t + 1]
+                acc = acc + jax.lax.dot_general(
+                    pw2[:], a2.astype(out_ref.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + b2[:]
+                continue
+            # dil: dense conv, im2col per SB sub-chunk (bounded scratch)
+            q, b = w
+            s = jnp.maximum(win[:], 0)
+            CS = win.shape[0]
+            ntaps = len(shifts)
+            subs = []
+            for sub in range(CHUNK // SB):
+                so = sub * SB
+                for t, sh in enumerate(shifts):
+                    xt[t * CS : (t + 1) * CS, :] = s[
+                        :, hs + sh + so : hs + sh + so + SB
+                    ]
+                subs.append(
+                    jax.lax.dot_general(
+                        q[:], xt[: ntaps * CS, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + b[:]
+                )
+            acc = acc + (
+                subs[0] if len(subs) == 1 else jnp.concatenate(subs, axis=1)
+            )
+        acc = jnp.where(_valid_mask(base, P, core, Ws, W, CHUNK), acc, 0.0)
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _edge_weights(name: str, variables):
+    if name == "skip_connect":
+        return ()
+    p = variables["params"]
+    st = variables["batch_stats"]
+    if name.startswith("sep"):
+        w1 = sep_stage_weights(
+            p["dw1"]["kernel"], p["pw1"]["kernel"],
+            p["bn1"]["scale"], p["bn1"]["bias"],
+            st["bn1"]["mean"], st["bn1"]["var"],
+        )
+        w2 = sep_stage_weights(
+            p["dw2"]["kernel"], p["pw2"]["kernel"],
+            p["bn2"]["scale"], p["bn2"]["bias"],
+            st["bn2"]["mean"], st["bn2"]["var"],
+        )
+        return w1 + w2
+    if name.startswith("dil"):
+        return dense_stage_weights(
+            p["conv"]["kernel"],
+            p["bn"]["scale"], p["bn"]["bias"],
+            st["bn"]["mean"], st["bn"]["var"],
+        )
+    return ()
+
+
+def block_stage(
+    edges,                     # [(src (CS,L), name, variables), ...] 1..2
+    spec: FlatSpec,
+    interpret: Optional[bool] = None,
+):
+    """Fused evaluation of one block's edges + their sum; None on fallback."""
+    plans = []
+    for _, name, _ in edges:
+        plan = _edge_plan(name, spec)
+        if plan is None:
+            return None
+        plans.append(plan)
+    if interpret is None:
+        interpret = default_interpret()
+
+    srcs = [e[0] for e in edges]
+    cs = srcs[0].shape[0]
+    dtype = srcs[0].dtype
+    weights, nw = [], []
+    for (_, name, v), plan in zip(edges, plans):
+        w = _edge_weights(name, v)
+        if plan[0] == "sep":
+            w = (w[0], w[1].astype(dtype), w[2], w[3], w[4].astype(dtype), w[5])
+        elif plan[0] == "dil":
+            w = (w[0].astype(dtype), w[1])
+        nw.append(len(w))
+        weights.extend(w)
+
+    SB = min(1024, spec.chunk)
+    scratch = [
+        pltpu.VMEM((2, cs, spec.chunk + 2 * plan[2]), dtype) for plan in plans
+    ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, len(plans))))
+    budget = sum(2 * cs * (spec.chunk + 2 * p[2]) * 2 for p in plans)
+    for plan in plans:
+        if plan[0] == "sep":
+            scratch.append(
+                pltpu.VMEM((cs, spec.chunk + 2 * plan[3]), dtype)
+            )
+            budget += cs * (spec.chunk + 2 * plan[3]) * 2
+    if any(p[0] == "dil" for p in plans):
+        max_taps = max(len(p[1]) for p in plans if p[0] == "dil")
+        scratch.append(pltpu.VMEM((max_taps * cs, SB), dtype))
+        budget += max_taps * cs * SB * 2
+    budget += 2 * cs * spec.chunk * 2  # double-buffered out block
+    if budget > 14 * 2**20:
+        return None
+
+    kernel = functools.partial(
+        _block_kernel,
+        plans=tuple(plans),
+        nw=tuple(nw),
+        P=spec.P,
+        core=spec.core,
+        Ws=spec.Ws,
+        W=spec.W,
+        SB=SB,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(spec.L // spec.chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * len(srcs)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((cs, spec.chunk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((cs, spec.L), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*srcs, *weights)
+
+
+
 # ------------------------------------------------------- weight folding
 
 
@@ -564,8 +824,10 @@ def run_dag_flat(
 ):
     """Execute the block DAG in flat layout; returns the B block states.
 
-    Conv primitives run as fused Pallas stages; pools/skip/zero fall back
-    to XLA (converting through NHWC for exact pool edge semantics).
+    Each block runs as ONE fused pallas_call (both edges + their f32 sum —
+    block_stage); blocks with pools, none-only edges, or halo-starved specs
+    fall back to per-op fused stages + an XLA sum (pools convert through
+    NHWC for exact edge semantics).
     """
     selected = dict(assignment)
     states = [s0, s1]
@@ -573,13 +835,27 @@ def run_dag_flat(
     op_i = 0
     offset = 0
     for _ in range(B):
-        outs = []
+        rows = []  # (state_idx, name, variables) per selected edge
         for j in range(len(states)):
-            if (offset + j) not in selected:
-                continue
-            name = primitives[selected[offset + j]]
-            v = op_variables[op_i]
-            op_i += 1
+            if (offset + j) in selected:
+                rows.append(
+                    (j, primitives[selected[offset + j]], op_variables[op_i])
+                )
+                op_i += 1
+
+        active = [
+            (states[j], name, v) for j, name, v in rows if name != "none"
+        ]
+        fused = (
+            block_stage(active, spec, interpret) if active else None
+        )
+        if fused is not None:
+            states.append(fused)
+            offset += len(states) - 1
+            continue
+
+        outs = []
+        for j, name, v in rows:
             if name == "none":
                 outs.append(jnp.zeros_like(states[j]))
             elif name == "skip_connect":
@@ -598,7 +874,7 @@ def run_dag_flat(
                 outs.append(
                     _apply_conv_op(name, v, states[j], spec, interpret)
                 )
-        states.append(sum(outs))
+        states.append(sum(outs) if outs else jnp.zeros_like(s0))
         offset += len(states) - 1
     return states[2:]
 

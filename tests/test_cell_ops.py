@@ -309,3 +309,33 @@ def test_run_dag_flat_compiled_matches_unfused_on_tpu():
     a, b = np.asarray(want, np.float32), np.asarray(got, np.float32)
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize(
+    "C,H,W",
+    [(40, 257, 513), (80, 129, 257), (160, 65, 129)],  # flagship @ 1025x2049
+)
+def test_block_kernel_engages_at_flagship_sizes(C, H, W):
+    """The fused block kernel's VMEM self-budget must accept the worst block
+    (two dil5 edges) at every real F=20 level size — a budget fallback there
+    would silently forfeit the sum fusion on the hot path."""
+    from auto_dynamic_deeplab_tpu.kernels.cell_ops import block_stage
+
+    spec = FlatSpec(H=H, W=W, chunk=pick_chunk(C))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.normal(size=(1, H, W, C)).astype(np.float32))
+    f = to_flat(x, spec)
+    edges = []
+    for i in range(2):
+        op = OPS["dil_conv_5x5"](C, 1)
+        v = op.init(jax.random.PRNGKey(i), x, False)
+        edges.append((f, "dil_conv_5x5", v))
+    out = block_stage(edges, spec, interpret=True)
+    assert out is not None, "budget fallback at a flagship size"
+    want = sum(
+        OPS["dil_conv_5x5"](C, 1).apply(v, x, False) for _, _, v in edges
+    )
+    got = from_flat(out, C, spec)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-4
+    )
