@@ -37,6 +37,9 @@ def main():
         "xla": {},
         "packed": {"packed_eval": True},
         "flat": {"flat_eval": True},
+        # flat DAG + packed dense-tap projections compose (cell.py routes
+        # the block DAG to the flat kernels, the dense-in 1x1s to packed)
+        "flat+packed": {"flat_eval": True, "packed_eval": True},
     }
     results = {}
     for name, kw in variants.items():
@@ -64,11 +67,11 @@ def main():
         print(f"\n=== {name} ===")
         print("early-exit:", r_early["total_ms"], "ms/run")
         print("full-depth:", r_full["total_ms"], "ms/run")
-        if name == "flat":
+        if name in ("flat", "flat+packed"):
             pretty(r_early, top=25)
 
     e0, f0 = (results["xla"][i]["total_ms"] for i in (0, 1))
-    for name in ("packed", "flat"):
+    for name in ("packed", "flat", "flat+packed"):
         e1, f1 = (results[name][i]["total_ms"] for i in (0, 1))
         print(f"\n{name}: early-exit {e0:.2f} -> {e1:.2f} ms ({e0 / e1:.2f}x), "
               f"full-depth {f0:.2f} -> {f1:.2f} ms ({f0 / f1:.2f}x)")
