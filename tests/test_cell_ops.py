@@ -339,3 +339,20 @@ def test_block_kernel_engages_at_flagship_sizes(C, H, W):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-4
     )
+
+
+def test_add_flat_plus_packed_matches_unfused():
+    """flat_eval (block-fused DAG) and packed_eval (block-diag dense-tap
+    1x1s) compose; together they must still match the plain XLA model."""
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.normal(size=(1, 65, 97, 3)).astype(np.float32))
+    base = _tiny_add(flat_eval=False)
+    variables = _bn_warm_variables(base, x)
+    want = base.apply(variables, x, False)
+    combo = ADD(
+        _PATH, _C_INDEX, AUTODEEPLAB_GENOTYPE, num_classes=7, F=4, B=5,
+        flat_eval=True, packed_eval=True,
+    )
+    got = combo.apply(variables, x, False)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-4)
