@@ -31,10 +31,11 @@ def build_parser():
     p.add_argument(
         "--cell-exec",
         default="xla",
-        choices=["xla", "packed", "flat"],
+        choices=["xla", "packed", "flat", "flat-packed"],
         help="eval-path cell execution: plain XLA ops, wave-packed "
-        "block-diag matmuls (ops/packed.py), or fused flat-layout Pallas "
-        "DAG kernels (kernels/cell_ops.py; TPU, batch-1)",
+        "block-diag matmuls (ops/packed.py), fused flat-layout Pallas "
+        "block kernels (kernels/cell_ops.py; TPU, batch-1), or both "
+        "(flat DAG + packed dense-tap 1x1s)",
     )
     return p
 
@@ -58,6 +59,7 @@ def main(argv=None):
     exec_kw = {
         "packed": {"packed_eval": True},
         "flat": {"flat_eval": True},
+        "flat-packed": {"flat_eval": True, "packed_eval": True},
     }.get(args.cell_exec, {})
     model = model_cls(path, C_index, genotype, nclass, F=args.F, B=args.B,
                       low_level_layer=low_level_layer, **exec_kw)
