@@ -69,9 +69,34 @@ def _train_synthetic_edm(model, variables, rng, size):
     return train_edm(feats, ents, epochs=60, batch_size=3)
 
 
+def _backend_watchdog(seconds: float = 240.0):
+    """Fail fast instead of hanging forever when the TPU relay is down:
+    backend init (jax.devices) can block indefinitely on a dead relay.
+    Returns a cancel() to call once the backend is up."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            sys.stderr.write(
+                f"bench: backend init did not complete in {seconds:.0f}s "
+                "(TPU relay down?) — aborting\n"
+            )
+            sys.stderr.flush()
+            os._exit(17)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done.set
+
+
 def main(smoke: bool = False):
     """smoke=True: tiny shapes / tiny F so the whole surface executes in
     minutes on CPU — validates the bench code path, not performance."""
+    cancel = _backend_watchdog()
+    jax.devices()  # backend init; hangs here if the relay is dead
+    cancel()
+
     from auto_dynamic_deeplab_tpu.models import ADD
     from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
     from auto_dynamic_deeplab_tpu.train import (
