@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -120,6 +121,42 @@ def op_taps(kind: str, k: int, dilation: int = 1) -> Tuple[Tuple[int, int], ...]
 
 # ---------------------------------------------------------------- kernels
 
+# Lane sub-tile for depthwise tap accumulation. Mosaic allocates a fresh
+# stack buffer for EVERY per-tap (CS, width) f32 temporary in an unrolled
+# FMA chain (no reuse — measured: a 25-tap chain at (160, 1536) f32 wants
+# 22.9 MB of scoped VMEM; the same chain in 512-lane sub-tiles compiles
+# fine, scripts/probe_fma_styles.py). Sub-tiling bounds the live set at
+# ntaps * CS * TS * 4 bytes regardless of the window width.
+_TS = 256
+
+
+def _tap_ts(cs: int) -> int:
+    """Tap-chain lane sub-tile: narrower at high channel counts so the
+    (assumed non-reused) per-tap f32 temporaries stay ~1-2 MB."""
+    return _TS if cs <= 64 else _TS // 2
+
+
+def _pick_sb(cs: int, chunk: int) -> int:
+    """dil im2col sub-chunk: largest keeping the (ntaps*CS, SB) scratch
+    within ~4 MB (25 taps, bf16)."""
+    for sb in (1024, 512, 256):
+        if sb <= chunk and 25 * cs * sb * 2 <= 4 * 2**20:
+            return sb
+    return min(256, chunk)
+
+
+def _acc_taps(acc_ref, src, shifts, dwk_ref, off0, width):
+    """acc_ref[:, :width] = sum_t src[:, off0+s_t : +width] * dwk[:, t],
+    accumulated in f32 by lane sub-tiles."""
+    cs = acc_ref.shape[0]
+    ts = math.gcd(width, _tap_ts(cs))
+    for j in range(width // ts):
+        a = jnp.zeros((cs, ts), jnp.float32)
+        for t, s in enumerate(shifts):
+            o = off0 + s + j * ts
+            a = a + src[:, o : o + ts].astype(jnp.float32) * dwk_ref[:, t : t + 1]
+        acc_ref[:, j * ts : (j + 1) * ts] = a
+
 
 def _valid_mask(base, P, core, Ws, W, CHUNK):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -160,9 +197,15 @@ def sep_fused_halo(shifts: Tuple[int, ...], P: int) -> Tuple[int, int]:
 
 
 def _window_dma(src_hbm, xwin, sem, i, chunk, hs, slot):
-    """Start/wait handle for block i's (CS, CHUNK + 2*hs) source window."""
+    """Start/wait handle for block i's (CS, CHUNK + 2*hs) source window.
+
+    The lane-dim slice offset is dynamic; Mosaic must prove it divisible by
+    the 128-lane tiling or refuse to lower (`memref_slice ... divisible by
+    the tiling`). i*chunk - hs is statically a multiple of gcd(chunk, hs)
+    (both 512-aligned in real configs) — assert that via pl.multiple_of."""
+    start = pl.multiple_of(i * chunk - hs, math.gcd(chunk, hs) if hs else chunk)
     return pltpu.make_async_copy(
-        src_hbm.at[:, pl.ds(i * chunk - hs, xwin.shape[2])],
+        src_hbm.at[:, pl.ds(start, xwin.shape[2])],
         xwin.at[slot],
         sem.at[slot],
     )
@@ -202,6 +245,7 @@ def _sep_stage_kernel(
     out_ref,    # block (OS, CHUNK)
     xwin,       # scratch (2, CS, CHUNK + 2*hs) double-buffered window
     sem,        # DMA semaphores (2,)
+    acc_sc,     # scratch (CS, CHUNK) f32 tap accumulator
     *,
     shifts: Tuple[int, ...],
     hs: int,
@@ -217,13 +261,10 @@ def _sep_stage_kernel(
 
     def compute(win):
         src = jnp.maximum(win[:], 0) if in_relu else win[:]
-        acc = jnp.zeros((win.shape[0], CHUNK), jnp.float32)
-        for t, s in enumerate(shifts):
-            seg = src[:, hs + s : hs + s + CHUNK]
-            acc = acc + seg.astype(jnp.float32) * dwk_ref[:, t : t + 1]
+        _acc_taps(acc_sc, src, shifts, dwk_ref, hs, CHUNK)
         y = jax.lax.dot_general(
             pw_ref[:],
-            acc.astype(out_ref.dtype),
+            acc_sc[:].astype(out_ref.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -243,7 +284,7 @@ def _dense_stage_kernel(
     out_ref,    # block (OS, CHUNK)
     xwin,       # scratch (2, CS, CHUNK + 2*hs)
     sem,        # DMA semaphores (2,)
-    xt_ref,     # scratch (ntaps*CS, CHUNK) im2col
+    xt_ref,     # scratch (ntaps*CS, SB) im2col sub-chunk
     *,
     shifts: Tuple[int, ...],
     hs: int,
@@ -253,6 +294,7 @@ def _dense_stage_kernel(
     W: int,
     out_relu: bool,
     in_relu: bool,
+    SB: int,
 ):
     CHUNK = out_ref.shape[1]
     CS = xwin.shape[1]
@@ -260,14 +302,27 @@ def _dense_stage_kernel(
 
     def compute(win):
         src = jnp.maximum(win[:], 0) if in_relu else win[:]
-        for t, s in enumerate(shifts):
-            xt_ref[t * CS : (t + 1) * CS, :] = src[:, hs + s : hs + s + CHUNK]
-        y = jax.lax.dot_general(
-            q_ref[:],
-            xt_ref[:],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # im2col per SB sub-chunk (bounds the scratch), sub-tiled stores
+        # (a full-width copy per tap would pin ntaps (CS, SB) stack
+        # temporaries — no reuse, see the _TS note)
+        ts = math.gcd(SB, _tap_ts(CS))
+        subs = []
+        for sub in range(CHUNK // SB):
+            so = sub * SB
+            for t, s in enumerate(shifts):
+                for j in range(SB // ts):
+                    xt_ref[t * CS : (t + 1) * CS, j * ts : (j + 1) * ts] = src[
+                        :, hs + s + so + j * ts : hs + s + so + (j + 1) * ts
+                    ]
+            subs.append(
+                jax.lax.dot_general(
+                    q_ref[:],
+                    xt_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        y = subs[0] if len(subs) == 1 else jnp.concatenate(subs, axis=1)
         y = y + bias_ref[:]
         y = jnp.where(_valid_mask(base, P, core, Ws, W, CHUNK), y, 0.0)
         if out_relu:
@@ -285,6 +340,7 @@ def _sep_fused_kernel(
     xwin,       # scratch (2, CS, CHUNK + 2*hs)
     sem,        # DMA semaphores (2,)
     mid_ref,    # scratch (CS, CHUNK + 2*E2) bf16/out-dtype intermediate
+    acc_sc,     # scratch (CS, CHUNK + 2*E2) f32 tap accumulator (both stages)
     *,
     shifts: Tuple[int, ...],
     hs: int,
@@ -305,26 +361,18 @@ def _sep_fused_kernel(
 
     def compute(win):
         s = jnp.maximum(win[:], 0)
-        acc = jnp.zeros((win.shape[0], M), jnp.float32)
-        for t, sh in enumerate(shifts):
-            off = hs - E2 + sh
-            acc = acc + (
-                s[:, off : off + M].astype(jnp.float32) * dwk1_ref[:, t : t + 1]
-            )
+        _acc_taps(acc_sc, s, shifts, dwk1_ref, hs - E2, M)
         y1 = jax.lax.dot_general(
-            pw1_ref[:], acc.astype(out_ref.dtype),
+            pw1_ref[:], acc_sc[:].astype(out_ref.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         y1 = y1 + b1_ref[:]
         y1 = jnp.where(_valid_mask_ext(base - E2, P, core, Ws, W, M), y1, 0.0)
         mid_ref[:] = jnp.maximum(y1, 0.0).astype(out_ref.dtype)
 
-        acc2 = jnp.zeros((mid_ref.shape[0], CHUNK), jnp.float32)
-        for t, sh in enumerate(shifts):
-            seg = mid_ref[:, E2 + sh : E2 + sh + CHUNK]
-            acc2 = acc2 + seg.astype(jnp.float32) * dwk2_ref[:, t : t + 1]
+        _acc_taps(acc_sc, mid_ref, shifts, dwk2_ref, E2, CHUNK)
         y = jax.lax.dot_general(
-            pw2_ref[:], acc2.astype(out_ref.dtype),
+            pw2_ref[:], acc_sc[:, :CHUNK].astype(out_ref.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         y = y + b2_ref[:]
@@ -373,6 +421,7 @@ def sep_fused(
             pltpu.VMEM((2, src.shape[0], spec.chunk + 2 * hs), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((pw1.shape[0], spec.chunk + 2 * E2), src.dtype),
+            pltpu.VMEM((src.shape[0], spec.chunk + 2 * E2), jnp.float32),
         ],
         interpret=interpret,
     )(src, dwk1, pw1.astype(src.dtype), b1, dwk2, pw2.astype(src.dtype), b2)
@@ -439,7 +488,7 @@ def sep_stage(
     )
     return _run_stage(
         kernel, src, (dwk, pw.astype(src.dtype), bias), pw.shape[0], hs,
-        spec, [], interpret,
+        spec, [pltpu.VMEM((src.shape[0], spec.chunk), jnp.float32)], interpret,
     )
 
 
@@ -455,6 +504,7 @@ def dense_stage(
 ) -> jnp.ndarray:
     cs = src.shape[0]
     hs = stage_halo(shifts, spec.P)
+    SB = _pick_sb(cs, spec.chunk)
     kernel = functools.partial(
         _dense_stage_kernel,
         shifts=shifts,
@@ -465,10 +515,11 @@ def dense_stage(
         W=spec.W,
         out_relu=out_relu,
         in_relu=in_relu,
+        SB=SB,
     )
     return _run_stage(
         kernel, src, (q.astype(src.dtype), bias), q.shape[0], hs, spec,
-        [pltpu.VMEM((len(shifts) * cs, spec.chunk), src.dtype)], interpret,
+        [pltpu.VMEM((len(shifts) * cs, SB), src.dtype)], interpret,
     )
 
 
@@ -535,6 +586,7 @@ def _block_kernel(
         if kind == "sep":
             mids[e] = scr.pop(0)
     xt = scr.pop(0) if any(p[0] == "dil" for p in plans) else None
+    acc_sc = scr.pop(0) if any(p[0] != "skip" for p in plans) else None
 
     CHUNK = out_ref.shape[1]
     i = pl.program_id(0)
@@ -545,8 +597,12 @@ def _block_kernel(
 
     def dma(e, j, slot):
         hs = plans[e][2]
+        # see _window_dma: Mosaic needs the lane offset provably 128-aligned
+        start = pl.multiple_of(
+            j * CHUNK - hs, math.gcd(CHUNK, hs) if hs else CHUNK
+        )
         return pltpu.make_async_copy(
-            srcs[e].at[:, pl.ds(j * CHUNK - hs, xwins[e].shape[2])],
+            srcs[e].at[:, pl.ds(start, xwins[e].shape[2])],
             xwins[e].at[slot],
             sem.at[slot, e],
         )
@@ -582,15 +638,9 @@ def _block_kernel(
                 dwk1, pw1, b1, dwk2, pw2, b2 = w
                 s = jnp.maximum(win[:], 0)
                 M = mids[e].shape[1]
-                a1 = jnp.zeros((win.shape[0], M), jnp.float32)
-                for t, sh in enumerate(shifts):
-                    off = hs - E2 + sh
-                    a1 = a1 + (
-                        s[:, off : off + M].astype(jnp.float32)
-                        * dwk1[:, t : t + 1]
-                    )
+                _acc_taps(acc_sc, s, shifts, dwk1, hs - E2, M)
                 y1 = jax.lax.dot_general(
-                    pw1[:], a1.astype(out_ref.dtype),
+                    pw1[:], acc_sc[:, :M].astype(out_ref.dtype),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + b1[:]
@@ -598,28 +648,28 @@ def _block_kernel(
                     _valid_mask_ext(base - E2, P, core, Ws, W, M), y1, 0.0
                 )
                 mids[e][:] = jnp.maximum(y1, 0.0).astype(out_ref.dtype)
-                a2 = jnp.zeros((mids[e].shape[0], CHUNK), jnp.float32)
-                for t, sh in enumerate(shifts):
-                    seg = mids[e][:, E2 + sh : E2 + sh + CHUNK]
-                    a2 = a2 + seg.astype(jnp.float32) * dwk2[:, t : t + 1]
+                _acc_taps(acc_sc, mids[e], shifts, dwk2, E2, CHUNK)
                 acc = acc + jax.lax.dot_general(
-                    pw2[:], a2.astype(out_ref.dtype),
+                    pw2[:], acc_sc[:, :CHUNK].astype(out_ref.dtype),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + b2[:]
                 continue
-            # dil: dense conv, im2col per SB sub-chunk (bounded scratch)
+            # dil: dense conv, im2col per SB sub-chunk (bounded scratch),
+            # sub-tiled stores (see _TS note)
             q, b = w
             s = jnp.maximum(win[:], 0)
             CS = win.shape[0]
             ntaps = len(shifts)
+            ts = math.gcd(SB, _tap_ts(CS))
             subs = []
             for sub in range(CHUNK // SB):
                 so = sub * SB
                 for t, sh in enumerate(shifts):
-                    xt[t * CS : (t + 1) * CS, :] = s[
-                        :, hs + sh + so : hs + sh + so + SB
-                    ]
+                    for j in range(SB // ts):
+                        xt[t * CS : (t + 1) * CS, j * ts : (j + 1) * ts] = s[
+                            :, hs + sh + so + j * ts : hs + sh + so + (j + 1) * ts
+                        ]
                 subs.append(
                     jax.lax.dot_general(
                         q[:], xt[: ntaps * CS, :],
@@ -633,6 +683,57 @@ def _block_kernel(
             )
         acc = jnp.where(_valid_mask(base, P, core, Ws, W, CHUNK), acc, 0.0)
         out_ref[:] = acc.astype(out_ref.dtype)
+
+
+# Scoped-VMEM ceiling the self-budgets target = the hardware limit. The
+# stack model below consistently OVERestimates the measured footprint by
+# ~0.5-1 MB (probe-calibrated: scripts/probe_cell_kernel_vmem.py vs the
+# Mosaic 'Scoped allocation' sizes), so the hardware number needs no extra
+# margin — shaving it only demotes hot blocks that in fact fit.
+_VMEM_LIMIT = 16 * 2**20
+
+
+def _stack_model(cs: int, chunk: int, plans, eb: int = 2) -> int:
+    """Conservative bytes of Mosaic stack temporaries for one block/stage
+    kernel compute: full-width single temporaries are counted once; per-tap
+    chains are bounded by the _TS sub-tiling (assumed not reused).
+    ``eb`` = element bytes of the state dtype (2 bf16 / 4 f32)."""
+    stack = 3 * cs * chunk * 4  # SSA acc copies + final mask/cast
+    for kind, shifts, hs, E2 in plans:
+        win = cs * (chunk + 2 * hs) * eb  # relu'd window copy
+        if kind == "sep":
+            M = chunk + 2 * E2
+            # tap chains are bounded by the _tap_ts sub-tiling; full-width
+            # singles (dot in/out, mask, cast) measure as ~one live f32 +
+            # one state-dtype copy (Mosaic reuses them — probe-calibrated)
+            stack += win + len(shifts) * cs * _tap_ts(cs) * 4 + (4 + eb) * cs * M
+        elif kind == "dil":
+            stack += win + 8 * cs * chunk
+        else:
+            stack += cs * chunk * 4
+    return stack
+
+
+def block_budget_bytes(cs: int, dtype, spec: FlatSpec, plans) -> int:
+    """Modeled scoped-VMEM bytes of one fused block kernel: DMA windows,
+    mid/im2col/accumulator scratch, double-buffered out, and the stack
+    model. Exposed for the engagement regression test."""
+    eb = jnp.dtype(dtype).itemsize
+    chunk = spec.chunk
+    SB = _pick_sb(cs, chunk)
+    budget = sum(2 * cs * (chunk + 2 * p[2]) * eb for p in plans)  # windows
+    for plan in plans:
+        if plan[0] == "sep":
+            budget += cs * (chunk + 2 * plan[3]) * eb  # mid
+    if any(p[0] == "dil" for p in plans):
+        max_taps = max(len(p[1]) for p in plans if p[0] == "dil")
+        budget += max_taps * cs * SB * eb  # im2col
+    maxw = max([chunk] + [chunk + 2 * p[3] for p in plans if p[0] == "sep"])
+    if any(p[0] != "skip" for p in plans):
+        budget += cs * maxw * 4  # f32 tap accumulator
+    budget += 2 * cs * chunk * eb  # double-buffered out block
+    budget += _stack_model(cs, chunk, plans, eb)
+    return budget
 
 
 def _edge_weights(name: str, variables):
@@ -689,25 +790,28 @@ def block_stage(
         nw.append(len(w))
         weights.extend(w)
 
-    SB = min(1024, spec.chunk)
+    SB = _pick_sb(cs, spec.chunk)
+    # Interpret mode is a CPU simulator — no scoped-VMEM constraint; skip
+    # the budget so parity tests exercise the fused path at any dtype/size.
+    if not interpret and block_budget_bytes(cs, dtype, spec, plans) > _VMEM_LIMIT:
+        return None
     scratch = [
         pltpu.VMEM((2, cs, spec.chunk + 2 * plan[2]), dtype) for plan in plans
     ]
     scratch.append(pltpu.SemaphoreType.DMA((2, len(plans))))
-    budget = sum(2 * cs * (spec.chunk + 2 * p[2]) * 2 for p in plans)
     for plan in plans:
         if plan[0] == "sep":
             scratch.append(
                 pltpu.VMEM((cs, spec.chunk + 2 * plan[3]), dtype)
             )
-            budget += cs * (spec.chunk + 2 * plan[3]) * 2
     if any(p[0] == "dil" for p in plans):
         max_taps = max(len(p[1]) for p in plans if p[0] == "dil")
         scratch.append(pltpu.VMEM((max_taps * cs, SB), dtype))
-        budget += max_taps * cs * SB * 2
-    budget += 2 * cs * spec.chunk * 2  # double-buffered out block
-    if budget > 14 * 2**20:
-        return None
+    maxw = max(
+        [spec.chunk] + [spec.chunk + 2 * p[3] for p in plans if p[0] == "sep"]
+    )
+    if any(p[0] != "skip" for p in plans):
+        scratch.append(pltpu.VMEM((cs, maxw), jnp.float32))
 
     kernel = functools.partial(
         _block_kernel,
@@ -772,11 +876,65 @@ def dense_stage_weights(conv_k, bn_scale, bn_bias, bn_mean, bn_var):
 # ----------------------------------------------------------- DAG runner
 
 
+def _xla_op_fallback(name: str, variables, src, spec):
+    """Run one primitive as its XLA NHWC module on a flat state (last-resort
+    path when no Pallas stage fits the scoped-VMEM budget)."""
+    from ..ops.primitives import OPS
+
+    p = variables["params"]
+    if name.startswith("sep"):
+        c_in = p["dw1"]["kernel"].shape[-1]
+        c_out = p["pw2"]["kernel"].shape[-1]
+    else:
+        c_in = p["conv"]["kernel"].shape[2]
+        c_out = p["conv"]["kernel"].shape[-1]
+    x = from_flat(src, c_in, spec)
+    dtype = None if src.dtype == jnp.float32 else src.dtype
+    op = OPS[name](c_out, 1, dtype=dtype)
+    return to_flat(op.apply(variables, x, False), spec)
+
+
+def _stage_fits(cs, os_, spec, plans, eb: int = 2) -> bool:
+    """Scoped-VMEM fit check for ONE standalone stage kernel (same model as
+    block_stage's, with the stage's own scratch)."""
+    chunk = spec.chunk
+    budget = 2 * os_ * chunk * eb  # double-buffered out
+    for kind, shifts, hs, E2 in plans:
+        budget += 2 * cs * (chunk + 2 * hs) * eb  # window
+        if kind == "sep":
+            M = chunk + 2 * E2
+            budget += cs * M * eb + cs * M * 4  # mid + f32 acc scratch
+        elif kind == "sep1":  # single sep_stage pass: f32 acc at CHUNK
+            budget += cs * chunk * 4
+        elif kind == "dil":
+            budget += len(shifts) * cs * _pick_sb(cs, chunk) * eb  # im2col
+    budget += _stack_model(cs, chunk, [p for p in plans if p[0] != "sep1"], eb)
+    for kind, shifts, hs, E2 in plans:
+        if kind == "sep1":
+            budget += (
+                cs * (chunk + 2 * hs) * eb
+                + len(shifts) * cs * _tap_ts(cs) * 4
+                + (4 + eb) * cs * chunk
+            )
+    return budget <= _VMEM_LIMIT
+
+
 def _apply_conv_op(name: str, variables, src, spec, interpret):
     """One primitive op on a flat RAW (pre-ReLU) state; the leading ReLU of
-    the primitive is folded into the first stage's kernel (in_relu)."""
+    the primitive is folded into the first stage's kernel (in_relu).
+    Degrades: fused two-stage sep -> two passes -> XLA NHWC op, whichever
+    first fits the scoped-VMEM budget."""
     p = variables["params"]
     st = variables["batch_stats"]
+    cs = src.shape[0]
+    eb = jnp.dtype(src.dtype).itemsize
+    if interpret is None:
+        interpret = default_interpret()
+
+    def fits(os_, plans):
+        # interpret mode is a CPU simulator: no scoped-VMEM constraint
+        return interpret or _stage_fits(cs, os_, spec, plans, eb)
+
     if name in ("sep_conv_3x3", "sep_conv_5x5"):
         k = 3 if name.endswith("3x3") else 5
         shifts = tuple(dh * spec.Ws + dw for dh, dw in op_taps("sep", k))
@@ -790,14 +948,21 @@ def _apply_conv_op(name: str, variables, src, spec, interpret):
             p["bn2"]["scale"], p["bn2"]["bias"],
             st["bn2"]["mean"], st["bn2"]["var"],
         )
-        fused = sep_fused(src, w1, w2, shifts, spec, interpret)
-        if fused is not None:
-            return fused
-        # halo budget too small for the fused recompute: two passes
-        mid = sep_stage(src, *w1, shifts, spec, True, interpret)
-        return sep_stage(
-            mid, *w2, shifts, spec, False, interpret, in_relu=False
-        )
+        plan = _edge_plan(name, spec)
+        if plan is not None and fits(w2[1].shape[0], [plan]):
+            fused = sep_fused(src, w1, w2, shifts, spec, interpret)
+            if fused is not None:
+                return fused
+        # halo/VMEM budget too small for the fused recompute: two passes
+        hs1 = stage_halo(shifts, spec.P)
+        if hs1 >= max(max(shifts), -min(shifts), 0) and fits(
+            w2[1].shape[0], [("sep1", shifts, hs1, 0)]
+        ):
+            mid = sep_stage(src, *w1, shifts, spec, True, interpret)
+            return sep_stage(
+                mid, *w2, shifts, spec, False, interpret, in_relu=False
+            )
+        return _xla_op_fallback(name, variables, src, spec)
     if name in ("dil_conv_3x3", "dil_conv_5x5"):
         k = 3 if name.endswith("3x3") else 5
         shifts = tuple(
@@ -808,7 +973,12 @@ def _apply_conv_op(name: str, variables, src, spec, interpret):
             p["bn"]["scale"], p["bn"]["bias"],
             st["bn"]["mean"], st["bn"]["var"],
         )
-        return dense_stage(src, q, b, shifts, spec, False, interpret)
+        hs1 = stage_halo(shifts, spec.P)
+        if hs1 >= max(max(shifts), -min(shifts), 0) and fits(
+            q.shape[0], [("dil", shifts, hs1, 0)]
+        ):
+            return dense_stage(src, q, b, shifts, spec, False, interpret)
+        return _xla_op_fallback(name, variables, src, spec)
     raise NotImplementedError(name)
 
 
