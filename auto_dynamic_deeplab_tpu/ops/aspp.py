@@ -115,16 +115,18 @@ class _ShiftedDilatedConv3x3(nn.Module):
             x.reshape(-1, cin), k, (((1,), (0,)), ((), ())),
             precision=prec, preferred_element_type=jnp.float32,
         )
-        if self.dtype is not None:  # see ASPPTrain: halve taps HBM traffic
-            y = y.astype(self.dtype)
+        # Keep the taps tensor fp32 (the dot_general accumulator dtype). A
+        # bf16 cast here looks like it should halve the dominant HBM
+        # traffic, but measured on v5e it is a 1.1 ms/exit REGRESSION at
+        # 1025x2049: the convert breaks XLA's dot→shift fusion and
+        # materializes standalone reshape/copy kernels (8.56 → 7.45 ms
+        # whole-program trace A/B).
         y = y.reshape(n, h, w, 9, self.features)
         d = self.dilation
         acc = None
         for i in range(3):
             for j in range(3):
-                t = _shift2d(
-                    y[:, :, :, 3 * i + j, :], (i - 1) * d, (j - 1) * d
-                ).astype(jnp.float32)
+                t = _shift2d(y[:, :, :, 3 * i + j, :], (i - 1) * d, (j - 1) * d)
                 acc = t if acc is None else acc + t
         return acc.astype(x.dtype)
 
@@ -205,12 +207,9 @@ class ASPPTrain(nn.Module):
                 xc.reshape(-1, cin), Kc, (((1,), (0,)), ((), ())),
                 precision=prec, preferred_element_type=jnp.float32,
             )
-            # In the bf16 policy, store the taps tensor (the dominant HBM
-            # traffic here: h*w*len(shifted)*9*depth) at the compute dtype;
-            # the MXU still accumulated in fp32, and the 9-tap shifted sum
-            # below re-accumulates in fp32.
-            if self.dtype is not None:
-                taps = taps.astype(self.dtype)
+            # Taps stay fp32 (see _ShiftedDilatedConv3x3: a bf16 cast here
+            # measured as a 1.1 ms/exit regression — it breaks the dot→shift
+            # fusion and adds standalone reshape/copy kernels).
             taps = taps.reshape(n, h, w, len(shifted), 9, self.depth)
             for bi, (nm, d) in enumerate(shifted.items()):
                 acc = None
@@ -219,7 +218,7 @@ class ASPPTrain(nn.Module):
                         t = _shift2d(
                             taps[:, :, :, bi, 3 * i + j, :],
                             (i - 1) * d, (j - 1) * d,
-                        ).astype(jnp.float32)
+                        )
                         acc = t if acc is None else acc + t
                 y = acc.astype(xc.dtype)
                 y = BatchNorm(name=f"{nm}_bn", **kw)(y, train)

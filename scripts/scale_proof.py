@@ -60,9 +60,13 @@ def search_supernet_step(res=321, bs=2):
         "image": jnp.asarray(rng.randn(bs, res, res, 3), jnp.float32),
         "label": jnp.asarray(rng.randint(0, 19, (bs, res, res)), jnp.int32),
     }
+    import time as _time
+
+    t0 = _time.time()
     v = model.init(jax.random.PRNGKey(0), batch["image"][:1], train=True)
     params, stats, arch = v["params"], v["batch_stats"], v["arch"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"[scale_proof]   init done ({_time.time() - t0:.0f}s)", flush=True)
 
     w_tx = make_optimizer(lr_schedule("cos", 0.025, 300, 100, min_lr=0.003),
                           weight_decay=3e-4)
@@ -70,8 +74,11 @@ def search_supernet_step(res=321, bs=2):
     w_opt, a_opt = w_tx.init(params), a_tx.init(arch)
     w_step, a_step = make_search_steps(model, w_tx, a_tx)
 
+    t0 = _time.time()
     p1, st1, w_opt, loss = w_step(params, stats, arch, w_opt, batch)
     loss = float(loss)
+    print(f"[scale_proof]   weight step compiled+ran ({_time.time() - t0:.0f}s)",
+          flush=True)
     t_w = trace_and_sum(
         lambda: w_step(params, stats, arch, w_opt, batch), runs=3
     )["total_ms"]
@@ -142,26 +149,44 @@ def main():
     ap.add_argument("--train-bs", type=int, default=16)
     args = ap.parse_args()
 
-    result = {"device": str(jax.devices()[0])}
-    try:
-        result["search_supernet_321"] = search_supernet_step(bs=args.search_bs)
-    except Exception as e:
-        result["search_supernet_321"] = {"error": f"{type(e).__name__}: {e}"[:2000]}
+    import time
 
+    result = {"device": str(jax.devices()[0])}
+
+    def flush():
+        text = json.dumps(result, indent=2)
+        print(text, flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text + "\n")
+
+    # Train step first: it is known to compile in minutes; the supernet
+    # compile can take hours on the relay, and a timeout mid-compile must
+    # not lose the phases that DID finish (r2 runbook lesson: 90 min of
+    # supernet compile produced an empty scale_proof.txt).
     bs = args.train_bs
     while bs >= 4:
+        print(f"[scale_proof] train_769 bs{bs} ...", flush=True)
+        t0 = time.time()
         try:
             result[f"train_769_bs{bs}"] = train_step_769(bs)
+            result[f"train_769_bs{bs}"]["phase_wall_s"] = round(time.time() - t0, 1)
+            flush()
             break
         except Exception as e:
             result[f"train_769_bs{bs}"] = {"error": f"{type(e).__name__}: {e}"[:800]}
+            flush()
             bs //= 2
 
-    text = json.dumps(result, indent=2)
-    print(text)
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(text + "\n")
+    print(f"[scale_proof] search_supernet_321 bs{args.search_bs} "
+          "(compile may take hours on a relay) ...", flush=True)
+    t0 = time.time()
+    try:
+        result["search_supernet_321"] = search_supernet_step(bs=args.search_bs)
+        result["search_supernet_321"]["phase_wall_s"] = round(time.time() - t0, 1)
+    except Exception as e:
+        result["search_supernet_321"] = {"error": f"{type(e).__name__}: {e}"[:2000]}
+    flush()
 
 
 if __name__ == "__main__":
