@@ -22,26 +22,29 @@ measured unit is the whole stage.
 """
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _here)
+sys.path.insert(0, os.path.dirname(_here))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from trace_measure import trace_and_sum
+
 ITERS = 30
 
 
 def timed_loop(op, x, iters=ITERS):
+    """Device time per op application from a profiler trace (host wall
+    clocks are junk on the axon relay: RTT/dedup noise is ~the op cost)."""
+
     @jax.jit
     def run(x):
         return jax.lax.fori_loop(0, iters, lambda i, v: op(v), x)
 
-    jax.block_until_ready(run(x))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(x))
-    return (time.perf_counter() - t0) / iters
+    return trace_and_sum(run, x, runs=1)["total_ms"] / 1e3 / iters
 
 
 def report(name, t):
@@ -128,5 +131,88 @@ def main():
         print(flush=True)
 
 
+# ---------------------------------------------------------------------------
+# NCHW (channel-leading) forms: at C=40 the NHWC minor dim pads 40->128
+# lanes, so every HBM round trip of a cell state costs 3.2x its logical
+# bytes. Channel-leading layouts put spatial W in lanes (257->pad 384 is
+# only 1.5x; the flattened H*W form pads ~0). The round-1 logits tail won
+# 1.8x from exactly this (class-leading NCHW logits).
+
+
+def stage_dw_pw_nchw(dw, pw, scale, bias, k, dil):
+    """dw+pw with NCHW operands/outputs (dw kernel HWIO-grouped)."""
+    pad = (k // 2) * dil
+
+    def op(v):  # v: (1, C, H, W)
+        c = v.shape[1]
+        y = jax.nn.relu(v)
+        y = jax.lax.conv_general_dilated(
+            y, dw, (1, 1), [(pad, pad), (pad, pad)],
+            rhs_dilation=(dil, dil), feature_group_count=c,
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        )
+        y = jax.lax.conv_general_dilated(
+            y, pw, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        )
+        return y * scale[None, :, None, None] + bias[None, :, None, None]
+    return op
+
+
+def stage_shiftfma_dot_nchw(dw, pw, scale, bias, k, dil):
+    """NCHW, depthwise as k^2 shifted FMAs (VPU) + pointwise as one
+    (Co, C) @ (C, H*W) dot with spatial flattened into lanes."""
+    pad = (k // 2) * dil
+    dwt = dw[:, :, 0, :].transpose(2, 0, 1)      # (C, k, k)
+    pwt = pw[0, 0].transpose(1, 0)               # (Co, C)
+
+    def op(v):  # (1, C, H, W)
+        _, c, h, w = v.shape
+        y = jax.nn.relu(v)
+        yp = jnp.pad(y, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        acc = None
+        for i in range(k):
+            for j in range(k):
+                t = jax.lax.dynamic_slice(
+                    yp, (0, 0, i * dil, j * dil), (1, c, h, w)
+                ) * dwt[:, i, j][None, :, None, None]
+                acc = t if acc is None else acc + t
+        flat = acc.reshape(c, h * w)
+        out = jax.lax.dot_general(
+            pwt, flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+        out = out * scale[:, None] + bias[:, None]
+        return out.reshape(1, -1, h, w)
+    return op
+
+
+def main_nchw():
+    rng = np.random.RandomState(0)
+    print(f"device: {jax.devices()[0]}  [NCHW forms, real cell shapes]\n",
+          flush=True)
+    # Real ADD C=2 trellis shapes at 1025x2049: level1/2/3 states.
+    for (h, w, c) in [(129, 257, 40), (65, 129, 80), (33, 65, 160)]:
+        xh = jnp.asarray(rng.randn(1, h, w, c), jnp.bfloat16)
+        xc = jnp.asarray(np.moveaxis(np.asarray(xh), 3, 1))
+        for k, dil, nm in [(3, 1, "sep3"), (5, 1, "sep5"),
+                           (3, 2, "dil3"), (5, 2, "dil5")]:
+            dw = jnp.asarray(rng.randn(k, k, 1, c), jnp.bfloat16) * 0.2
+            pw = jnp.asarray(rng.randn(1, 1, c, c), jnp.bfloat16) * 0.2
+            scale = jnp.asarray(rng.rand(c), jnp.bfloat16)
+            bias = jnp.asarray(rng.randn(c), jnp.bfloat16) * 0.1
+            tA = timed_loop(stage_dw_pw(dw, pw, scale, bias, k, dil), xh)
+            tD = timed_loop(stage_dw_pw_nchw(dw, pw, scale, bias, k, dil), xc)
+            tG = timed_loop(
+                stage_shiftfma_dot_nchw(dw, pw, scale, bias, k, dil), xc)
+            report(f"A nhwc dw+pw     {nm} @{h}x{w}x{c}", tA)
+            report(f"D nchw dw+pw     {nm} @{h}x{w}x{c}", tD)
+            report(f"G nchw shiftfma  {nm} @{h}x{w}x{c}", tG)
+        print(flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--nchw" in sys.argv:
+        main_nchw()
+    else:
+        main()
