@@ -27,9 +27,18 @@ def cross_entropy(
     t = target.astype(jnp.int32)
     valid = (t >= 0) & (t < num_classes) & (t != ignore_index)
     t_safe = jnp.where(valid, t, 0)
-    nll = -jnp.take_along_axis(logp, t_safe[..., None], axis=-1)[..., 0]
+    # Select the target-class log-prob via an iota==t one-hot mask, NOT
+    # take_along_axis: the gather's backward is a scatter-add into the full
+    # logits gradient, which is pathologically slow on TPU; the mask form
+    # fuses into the log_softmax pass forward and backward.
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+        == t_safe[..., None]
+    )
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     if weight is not None:
-        w = jnp.asarray(weight, jnp.float32)[t_safe]
+        wt = jnp.asarray(weight, jnp.float32)
+        w = jnp.sum(jnp.where(onehot, wt, 0.0), axis=-1)  # wt[t_safe], no gather
     else:
         w = jnp.ones_like(nll)
     w = jnp.where(valid, w, 0.0)

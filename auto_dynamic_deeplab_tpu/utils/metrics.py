@@ -19,13 +19,22 @@ def confusion_matrix_update(
     gt: jnp.ndarray, pred: jnp.ndarray, num_classes: int
 ) -> jnp.ndarray:
     """Confusion counts for one batch. gt/pred: int arrays of equal shape;
-    pixels with gt outside [0, num_classes) (e.g. ignore=255) are dropped."""
+    pixels with gt outside [0, num_classes) (e.g. ignore=255) are dropped.
+
+    Computed as onehot(gt)^T @ onehot(pred) on the MXU rather than a
+    scatter-add: XLA lowers large-index scatters to serialized updates on
+    TPU, while the one-hot contraction is one matmul over the pixel axis
+    (counts are exact: 0/1 operands, f32 accumulation)."""
     gt = gt.reshape(-1).astype(jnp.int32)
     pred = pred.reshape(-1).astype(jnp.int32)
     valid = (gt >= 0) & (gt < num_classes)
-    idx = jnp.where(valid, gt * num_classes + pred, num_classes * num_classes)
-    counts = jnp.zeros((num_classes * num_classes + 1,), jnp.float32).at[idx].add(1.0)
-    return counts[:-1].reshape(num_classes, num_classes)
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    gt_oh = ((gt[:, None] == classes) & valid[:, None]).astype(jnp.bfloat16)
+    pred_oh = (pred[:, None] == classes).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        gt_oh, pred_oh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _nanmean(x: np.ndarray) -> float:
