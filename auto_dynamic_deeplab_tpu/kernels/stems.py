@@ -76,7 +76,7 @@ def _stems_kernel(
     s2s_ref, s2b_ref,   # (1, 128) f32 folded bn2
     s0_out,   # block (TS0, W0, 64) bf16  — NHWC rows, written directly
     s1_out,   # block (TS1, W1, 128) bf16
-    xbuf, xte, xto, xtesh, a0, a1e, a1o, sem,
+    xbuf, xte, xto, xtesh, a0, m1, a1e, a1o, sem,
     *, TS1: int, H0: int, W0: int, W1: int,
 ):
     """Grid step a: s1 rows [TS1*a, TS1*(a+1)), s0 rows [TS0*a, TS0*(a+1))."""
@@ -153,17 +153,23 @@ def _stems_kernel(
         a0[rr] = v
 
     # ---- stem1 (MXU): im2col matmuls, NHWC output --------------------------
+    # Each a0 row's (W0p, 192) column-im2col [w-1 | w | w+1] is consumed by
+    # THREE output rows (as their dh=2/1/0 tap row). Build it ONCE per a0
+    # row into the m1 scratch instead of once per (output row, dh) — 7
+    # concat+shift builds per tile instead of 15, identical values.
+    for rr in range(NA0):
+        v = a0[rr]
+        m1[rr] = jnp.concatenate(
+            [_row_shift(v, -1), v, _row_shift(v, +1)], axis=1
+        )  # (W0p, 192): taps w-1 | w | w+1 = dw 0 | 1 | 2
+
     # s0 local row r2 in [0, TS0]: global row TS0*a - 1 + r2 (r2 == 0 is the
     # stem2 halo row above the tile). Uses a0 local rows r2 .. r2+2.
     def s0_row(r2, _):
         y = jnp.zeros((W0p, 64), jnp.float32)
         for dh in range(3):
-            v = a0[r2 + dh]
-            m = jnp.concatenate(
-                [_row_shift(v, -1), v, _row_shift(v, +1)], axis=1
-            )  # (W0p, 192): taps w-1 | w | w+1 = dw 0 | 1 | 2
             y = y + jax.lax.dot_general(
-                m, w1_ref[dh], (((1,), (0,)), ((), ())),
+                m1[r2 + dh], w1_ref[dh], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         s0row = y * s1s_ref[:] + s1b_ref[:]
@@ -297,6 +303,7 @@ def fused_stems(
             pltpu.VMEM((3, Wp // 2, NR), jnp.bfloat16),         # x odd cols
             pltpu.VMEM((3, W0p, NR), jnp.bfloat16),             # e[v+1] copy
             pltpu.VMEM((NA0, W0p, 64), jnp.bfloat16),           # a0
+            pltpu.VMEM((NA0, W0p, 192), jnp.bfloat16),          # m1 im2col
             pltpu.VMEM((TS0 + 1, W0p // 2, 64), jnp.bfloat16),  # relu even
             pltpu.VMEM((TS0 + 1, W0p // 2, 64), jnp.bfloat16),  # relu odd
             pltpu.SemaphoreType.DMA((2,)),
