@@ -46,12 +46,21 @@ def trace_and_sum(fn, *args, runs: int = 3, segments=(1,)):
     seg = collections.Counter()
     ops = collections.Counter()
     for e in data["traceEvents"]:
+        # Count only real HLO op events: these carry an `hlo_category` in
+        # args. Executable ENVELOPES do not — they duplicate the whole
+        # program's duration on the same track, and not all are named
+        # `jit_*` (a donated-arg train step emits a bare "0" envelope,
+        # which the old name-based filter counted: every train-step total
+        # measured before this fix was DOUBLE the real device time).
+        # `conditional` stays excluded: the branch envelope would double-
+        # count the executed branch's interior ops.
+        args_ = e.get("args") or {}
         if (
             e.get("ph") == "X"
             and "dur" in e
             and pids.get(e.get("pid"), "").startswith("/device")
-            and not e.get("name", "").startswith("jit_")
-            and (e.get("args") or {}).get("hlo_category") != "conditional"
+            and "hlo_category" in args_
+            and args_["hlo_category"] != "conditional"
         ):
             d = e["dur"]
             total += d
