@@ -66,7 +66,30 @@ def _train_synthetic_edm(model, variables, rng, size):
         {"image": rng.randn(1, *size, 3).astype(np.float32)} for _ in range(6)
     ]
     feats, ents = make_edm_dataset(model, variables, images)
-    return train_edm(feats, ents, epochs=60, batch_size=3)
+    # The random-init backbone emits features with std ~5e2 (a trained
+    # stage-2 wouldn't), which leaves Adam hopelessly ill-conditioned
+    # against the [0,1] entropy targets (final L1 ~60 at the real feature
+    # resolution). Condition the problem with a per-channel SCALE-only
+    # standardization — it commutes with the EDM's leading ReLU
+    # (relu(x/s) = relu(x)/s for s>0) — train on the scaled corpus, then
+    # fold 1/s into the first conv kernel's input channels so the returned
+    # weights consume RAW features (exactly what the product engine feeds).
+    sd = feats.std(axis=(0, 1, 2)) + 1e-6
+    edm, scaled_vars, loss = train_edm(
+        feats / sd, ents, epochs=400, batch_size=3, lr=1e-2
+    )
+    params = dict(scaled_vars["params"])
+    params["conv"] = dict(
+        params["conv"], kernel=params["conv"]["kernel"] / sd[None, None, :, None]
+    )
+    edm_vars = {**scaled_vars, "params": params}
+    on_raw = np.asarray(edm.apply(edm_vars, jnp.asarray(feats[:2]))[:, 0])
+    on_scaled = np.asarray(
+        edm.apply(scaled_vars, jnp.asarray(feats[:2] / sd))[:, 0]
+    )
+    drift = float(np.abs(on_raw - on_scaled).max())
+    assert drift < 1e-3, f"scale fold drifted: {drift}"
+    return edm, edm_vars, loss
 
 
 def _backend_watchdog(seconds: float = 240.0):

@@ -37,16 +37,36 @@ sys.path.insert(0, os.path.dirname(_here))
 from trace_measure import trace_and_sum
 
 
-def _mem():
+def _mem(jitted=None, *args, **kwargs):
+    """Runtime HBM stats when the backend exposes them; otherwise (relay
+    backends return None) fall back to the compiled program's own memory
+    analysis (argument/output/temp sizes — the compiler's HBM plan)."""
+    out = {}
     try:
         s = jax.devices()[0].memory_stats()
-        return {
-            "bytes_in_use_gb": round(s.get("bytes_in_use", 0) / 2**30, 3),
-            "peak_bytes_in_use_gb": round(s.get("peak_bytes_in_use", 0) / 2**30, 3),
-            "bytes_limit_gb": round(s.get("bytes_limit", 0) / 2**30, 3),
-        }
-    except Exception as e:  # relay backends may not expose stats
-        return {"error": str(e)}
+        if s:
+            out.update(
+                bytes_in_use_gb=round(s.get("bytes_in_use", 0) / 2**30, 3),
+                peak_bytes_in_use_gb=round(
+                    s.get("peak_bytes_in_use", 0) / 2**30, 3
+                ),
+                bytes_limit_gb=round(s.get("bytes_limit", 0) / 2**30, 3),
+            )
+    except Exception as e:
+        out["stats_error"] = str(e)[:200]
+    if jitted is not None:
+        try:  # cached compile: lower+compile of an already-run jit is a hit
+            m = jitted.lower(*args, **kwargs).compile().memory_analysis()
+            arg = getattr(m, "argument_size_in_bytes", 0)
+            tmp = getattr(m, "temp_size_in_bytes", 0)
+            outb = getattr(m, "output_size_in_bytes", 0)
+            out["hlo_argument_gb"] = round(arg / 2**30, 3)
+            out["hlo_temp_gb"] = round(tmp / 2**30, 3)
+            out["hlo_output_gb"] = round(outb / 2**30, 3)
+            out["hlo_peak_est_gb"] = round((arg + tmp + outb) / 2**30, 3)
+        except Exception as e:
+            out["hlo_error"] = str(e)[:200]
+    return out
 
 
 def search_supernet_step(res=321, bs=2):
@@ -94,7 +114,7 @@ def search_supernet_step(res=321, bs=2):
         "arch_step_ms": round(t_a, 1),
         "weight_loss": round(loss, 4),
         "imgs_per_sec_chip_weight_step": round(bs / (t_w / 1000.0), 2),
-        "memory": _mem(),
+        "memory": _mem(w_step, params, stats, arch, w_opt, batch),
     }
 
 
@@ -138,7 +158,7 @@ def train_step_769(bs):
         "step_ms": round(t, 1),
         "images_per_sec_per_chip": round(bs / (t / 1000.0), 2),
         "loss": round(loss, 4),
-        "memory": _mem(),
+        "memory": _mem(step, holder["state"], batch),
     }
 
 
