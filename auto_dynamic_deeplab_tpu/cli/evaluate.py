@@ -31,11 +31,12 @@ def build_parser():
     p.add_argument(
         "--cell-exec",
         default="xla",
-        choices=["xla", "packed", "flat", "flat-packed"],
+        choices=["xla", "packed", "flat", "flat-packed", "dense-sep"],
         help="eval-path cell execution: plain XLA ops, wave-packed "
         "block-diag matmuls (ops/packed.py), fused flat-layout Pallas "
-        "block kernels (kernels/cell_ops.py; TPU, batch-1), or both "
-        "(flat DAG + packed dense-tap 1x1s)",
+        "block kernels (kernels/cell_ops.py; TPU, batch-1), both "
+        "(flat DAG + packed dense-tap 1x1s), or XLA with the exact "
+        "SepConv dense-form rewrite (ops/primitives.py)",
     )
     return p
 
@@ -60,6 +61,7 @@ def main(argv=None):
         "packed": {"packed_eval": True},
         "flat": {"flat_eval": True},
         "flat-packed": {"flat_eval": True, "packed_eval": True},
+        "dense-sep": {"dense_sep_eval": True},
     }.get(args.cell_exec, {})
     model = model_cls(path, C_index, genotype, nclass, F=args.F, B=args.B,
                       low_level_layer=low_level_layer, **exec_kw)

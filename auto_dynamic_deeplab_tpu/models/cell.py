@@ -76,6 +76,10 @@ class FixedCell(nn.Module):
     # pallas_call per conv stage, BN folded — avoiding XLA's 128-lane
     # padding at C=40. Batch-1 only; other batches fall back to XLA.
     flat_eval: bool = False
+    # Eval-only exact SepConv rewrite: each dw→pw pair executes as ONE dense
+    # kxk conv with the composed kernel (ops/primitives._composed_sep_stage).
+    # Same params, same math, half the conv HBM passes per stage.
+    dense_sep_eval: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -104,10 +108,14 @@ class FixedCell(nn.Module):
             self.dense_process = ReLUConvBN(features=self.C_out, kernel_size=1, **kw)
 
         self.assignment = edge_op_assignment(self.genotype)
-        self.ops = [
-            OPS[PRIMITIVES[op]](self.C_out, 1, **kw)
-            for _, op in self.assignment
-        ]
+        ops = []
+        for _, op in self.assignment:
+            prim = PRIMITIVES[op]
+            okw = dict(kw)
+            if self.dense_sep_eval and prim.startswith("sep_conv"):
+                okw["dense_form"] = True
+            ops.append(OPS[prim](self.C_out, 1, **okw))
+        self.ops = ops
         self.waves = schedule_waves(self.assignment, self.B)
 
     # Number of dense inputs; 0 when dense_in is False. Declared as a module

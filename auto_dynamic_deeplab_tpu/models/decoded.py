@@ -89,6 +89,9 @@ class DecodedNet(nn.Module):
     # (kernels/cell_ops.py): one pallas_call per conv stage in (C, lane)
     # layout. Batch-1 eval only; training/init always unfused.
     flat_eval: bool = False
+    # Eval-only exact SepConv dense-form rewrite inside every cell: each
+    # dw→pw pair runs as one composed dense conv (ops/primitives.py).
+    dense_sep_eval: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -131,6 +134,7 @@ class DecodedNet(nn.Module):
                     num_dense_in=(i - 1) if dense_in else 0,
                     packed_eval=self.packed_eval,
                     flat_eval=self.flat_eval,
+                    dense_sep_eval=self.dense_sep_eval,
                     name=f"cell_{i}",
                     **kw,
                 )

@@ -184,9 +184,45 @@ class DilConv(nn.Module):
         )(x, train)
 
 
+def _composed_sep_stage(
+    x: jnp.ndarray,
+    dw_kernel: jnp.ndarray,
+    pw_kernel: jnp.ndarray,
+    stride: int,
+    padding: int,
+    dtype: Optional[jnp.dtype],
+) -> jnp.ndarray:
+    """Exact dense rewrite of one separable stage: depthwise(k) then
+    pointwise(1x1) with NO nonlinearity between them compose into ONE dense
+    kxk conv with ``K[ky,kx,ci,co] = dw[ky,kx,0,ci] * pw[0,0,ci,co]``
+    (mathematically identical, not an approximation). One conv kernel and
+    half the HBM round-trips of the state instead of a VPU-bound depthwise
+    plus a thin-channel 1x1. The composition runs in fp32 param precision,
+    then casts once to the compute dtype (the two-step form quantizes the
+    intermediate activations instead — differences are within bf16 noise).
+    """
+    kernel = dw_kernel[:, :, 0, :, None] * pw_kernel[0, 0][None, None]
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    pad = (padding, padding)
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        (stride, stride),
+        [pad, pad],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class SepConv(nn.Module):
     """Double depthwise-separable conv (modeling/operations.py:46-62):
     ReLU → dw(k,stride) → pw(1x1) → BN → ReLU → dw(k,1) → pw(1x1) → BN.
+
+    ``dense_form=True`` (eval-only) executes each dw→pw pair as one dense
+    kxk conv with the composed kernel (see _composed_sep_stage) — same
+    params, same math, fewer HBM passes. Init and training always run the
+    factored form so the parameter tree is identical either way.
     """
 
     features: int
@@ -194,6 +230,7 @@ class SepConv(nn.Module):
     stride: int = 1
     padding: int = 0
     affine: bool = True
+    dense_form: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -203,19 +240,33 @@ class SepConv(nn.Module):
         bn = partial(
             BatchNorm, affine=self.affine, axis_name=self.axis_name, dtype=self.dtype
         )
+        use_dense = self.dense_form and not train and not self.is_initializing()
+        params = self.variables["params"] if use_dense else None
         x = nn.relu(x)
-        x = conv2d(
-            c_in, self.kernel_size, self.stride, self.padding, groups=c_in,
-            dtype=self.dtype, name="dw1",
-        )(x)
-        x = conv2d(self.features, 1, dtype=self.dtype, name="pw1")(x)
+        if use_dense:
+            x = _composed_sep_stage(
+                x, params["dw1"]["kernel"], params["pw1"]["kernel"],
+                self.stride, self.padding, self.dtype,
+            )
+        else:
+            x = conv2d(
+                c_in, self.kernel_size, self.stride, self.padding, groups=c_in,
+                dtype=self.dtype, name="dw1",
+            )(x)
+            x = conv2d(self.features, 1, dtype=self.dtype, name="pw1")(x)
         x = bn(name="bn1")(x, train)
         x = nn.relu(x)
-        x = conv2d(
-            self.features, self.kernel_size, 1, self.padding, groups=self.features,
-            dtype=self.dtype, name="dw2",
-        )(x)
-        x = conv2d(self.features, 1, dtype=self.dtype, name="pw2")(x)
+        if use_dense:
+            x = _composed_sep_stage(
+                x, params["dw2"]["kernel"], params["pw2"]["kernel"],
+                1, self.padding, self.dtype,
+            )
+        else:
+            x = conv2d(
+                self.features, self.kernel_size, 1, self.padding,
+                groups=self.features, dtype=self.dtype, name="dw2",
+            )(x)
+            x = conv2d(self.features, 1, dtype=self.dtype, name="pw2")(x)
         return bn(name="bn2")(x, train)
 
 

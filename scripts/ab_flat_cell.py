@@ -40,7 +40,14 @@ def main():
         # flat DAG + packed dense-tap projections compose (cell.py routes
         # the block DAG to the flat kernels, the dense-in 1x1s to packed)
         "flat+packed": {"flat_eval": True, "packed_eval": True},
+        # exact SepConv dense-form rewrite (dw∘pw == one dense conv)
+        "dense-sep": {"dense_sep_eval": True},
     }
+    only = sys.argv[1:]
+    if only:
+        variants = {
+            k: v for k, v in variants.items() if k == "xla" or k in only
+        }
     results = {}
     for name, kw in variants.items():
         model = ADD(
@@ -67,11 +74,13 @@ def main():
         print(f"\n=== {name} ===")
         print("early-exit:", r_early["total_ms"], "ms/run")
         print("full-depth:", r_full["total_ms"], "ms/run")
-        if name in ("flat", "flat+packed"):
+        if name in ("flat", "flat+packed", "dense-sep"):
             pretty(r_early, top=25)
 
     e0, f0 = (results["xla"][i]["total_ms"] for i in (0, 1))
-    for name in ("packed", "flat", "flat+packed"):
+    for name in results:
+        if name == "xla":
+            continue
         e1, f1 = (results[name][i]["total_ms"] for i in (0, 1))
         print(f"\n{name}: early-exit {e0:.2f} -> {e1:.2f} ms ({e0 / e1:.2f}x), "
               f"full-depth {f0:.2f} -> {f1:.2f} ms ({f0 / f1:.2f}x)")
