@@ -225,6 +225,43 @@ def _conv_out(n: int) -> int:
     return (n - 1) // 2 + 1
 
 
+def _scratch_bytes(TS1: int, W: int) -> int:
+    """VMEM scratch footprint of the kernel at (TS1, image width W)."""
+    TS0 = 2 * TS1
+    NA0 = TS0 + 3
+    NR = _round_up8(2 * NA0 + 2)
+    W0 = _conv_out(W)
+    W0p = -(-(W0 + 2) // 8) * 8
+    Wp = -(-(W0p + 1) * 2 // 128) * 128
+    n = (
+        2 * 3 * NR * Wp          # xbuf x2
+        + 2 * 3 * (Wp // 2) * NR  # even/odd splits
+        + 3 * W0p * NR            # e[v+1] copy
+        + NA0 * W0p * 64          # a0
+        + NA0 * W0p * 192         # m1 im2col
+        + 2 * (TS0 + 1) * (W0p // 2) * 64  # relu even/odd
+        + TS0 * W0 * 64 + TS1 * _conv_out(W0) * 128  # output blocks
+    )
+    return 2 * n  # bf16
+
+
+_VMEM_LIMIT = 100 * 2**20  # requested scoped-VMEM ceiling (v5e has 128 MB)
+
+
+def pick_ts1(W: int, budget: int = 64 * 2**20) -> int:
+    """Largest sweep-validated row tile whose scratch fits the budget.
+
+    On-chip sweep at 1025x2049 (scripts/ab_stems_ts1.py, v5e): TS1=2
+    2.374 ms, TS1=4 1.998 ms, TS1=8 1.908 ms; TS1=16 drifts 2 bf16 ulp
+    (different MXU accumulation tiling) and is excluded. The budget keeps
+    a safety margin under _VMEM_LIMIT for Mosaic's own allocations.
+    """
+    for ts1 in (8, 4, 2):
+        if _scratch_bytes(ts1, W) <= budget:
+            return ts1
+    return 2
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "TS1"))
 def fused_stems(
     x: jnp.ndarray,           # (1, H, W, 3) any float dtype
@@ -232,10 +269,12 @@ def fused_stems(
     w1, bn1_s, bn1_b,         # (3,3,64,64) + (64,)
     w2, bn2_s, bn2_b,         # (3,3,64,128) + (128,)
     interpret: bool = False,
-    TS1: int = 2,             # s1 rows per grid tile (VMEM grows with TS1)
+    TS1: int | None = None,   # s1 rows per grid tile (VMEM grows with TS1)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (s0 (1,H0,W0,64) bf16 pre-relu, s1 (1,H1,W1,128) bf16)."""
     _, H, W, _ = x.shape
+    if TS1 is None:
+        TS1 = pick_ts1(W)
     H0, W0 = _conv_out(H), _conv_out(W)
     H1, W1 = _conv_out(H0), _conv_out(W0)
     W0p = -(-(W0 + 2) // 8) * 8       # 8-aligned, even, >= W0+1
@@ -308,6 +347,9 @@ def fused_stems(
             pltpu.VMEM((TS0 + 1, W0p // 2, 64), jnp.bfloat16),  # relu odd
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the 16 MB default scoped-VMEM limit binds at TS1 >= 4 (v5e has
+        # 128 MB); raise it so larger row tiles can amortize loop overhead
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xc, ident, w3, s0s, s0b, w1p, s1s, s1b, w2p, s2s, s2b)
     return s0[None], s1[None]
