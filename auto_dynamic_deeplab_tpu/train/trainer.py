@@ -203,7 +203,11 @@ class Trainer:
         result = {}
         for epoch in range(self.start_epoch, epochs):
             loss = self.training(epoch)
-            if (epoch + 1) % self.config.eval_interval == 0 or epoch == epochs - 1:
+            # interval <= 0 disables validation (the reference's --no-val)
+            if self.config.eval_interval > 0 and (
+                (epoch + 1) % self.config.eval_interval == 0
+                or epoch == epochs - 1
+            ):
                 result = self.validation(epoch)
                 result["train_loss"] = loss
         return result

@@ -133,6 +133,13 @@ def test_trainer_end_to_end(tmp_path):
     assert len(result["miou"]) == 2
     assert all(0.0 <= m <= 1.0 for m in result["miou"])
 
+    # eval_interval <= 0 disables validation (the reference's --no-val)
+    cfg0 = TrainConfig(
+        epochs=1, lr=0.02, eval_interval=0, run_dir=str(tmp_path),
+        dataset="synthetic",
+    )
+    assert Trainer(model, train_loader, val_loader, cfg0).fit() == {}
+
 
 def test_evaluation_dynamic(model_and_vars):
     model, variables = model_and_vars
