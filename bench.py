@@ -230,10 +230,14 @@ def main(smoke: bool = False):
     )
 
     # ---- training throughput: stage-2 step at 769x769 bf16 ----------------
+    # remat=False: the full fwd+bwd fits HBM up to bs16 at 769x769 (measured
+    # 08-19, profile_train_step.py) and remat costs 19-23% step time here
+    # (bs8: 164.2 -> 133.2 ms). Remat remains available (--remat) for
+    # configs that need it (supernet search, larger crops/batches).
     train_model = ADD(
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
         F=F, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
-        remat=True,
+        remat=False,
     )
     bs = train_bs
     tx = make_optimizer(lr_schedule("poly", 0.05, 100, 100), weight_decay=4e-5)

@@ -148,7 +148,7 @@ def train_step_769(bs):
     model = ADD(
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
         F=20, B=5, low_level_layer=cfg["low_level_layer"],
-        dtype=jnp.bfloat16, remat=True,
+        dtype=jnp.bfloat16, remat=False,
     )
     tx = make_optimizer(lr_schedule("poly", 0.05, 2689, 100), weight_decay=4e-5)
     state = create_train_state(
@@ -170,7 +170,7 @@ def train_step_769(bs):
     t = trace_and_sum(timed, 0, runs=3)["total_ms"]
     assert np.isfinite(loss)
     return {
-        "config": f"ADD C=2 F=20 769x769 bs{bs}, remat, bf16",
+        "config": f"ADD C=2 F=20 769x769 bs{bs}, no-remat, bf16",
         "step_ms": round(t, 1),
         "images_per_sec_per_chip": round(bs / (t / 1000.0), 2),
         "loss": round(loss, 4),
