@@ -69,6 +69,12 @@ class TrellisSupernet(nn.Module):
     # output from two layers back (level_*[-2]) instead of a dense concat.
     dense: bool = True
     remat: bool = True
+    # banked=True traces each mixed-cell block as ONE vmapped-over-edges
+    # BankedMixedOp (see supernet_cell.BankedMixedOp) — same numerics,
+    # ~4x smaller lowered graph. Required for the 12-layer mixed search
+    # config to AOT-compile; param layout differs (bank_i stacked vs
+    # mixed_e), so it is opt-in.
+    banked: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -105,7 +111,7 @@ class TrellisSupernet(nn.Module):
             return cell_cls(
                 B=B, C_out=C_out, has_down=down, has_same=same, has_up=up,
                 pre_rate=pre_rate, cell_kind=self.cell_kind,
-                genotype=self.genotype, name=name, **kw,
+                genotype=self.genotype, banked=self.banked, name=name, **kw,
             )
 
         cells: List = []

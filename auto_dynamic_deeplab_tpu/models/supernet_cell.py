@@ -72,6 +72,23 @@ class MixedOp(nn.Module):
         return out
 
 
+# Edge-banked MixedOp: one module whose params carry a leading edge axis,
+# applied to a stacked (E, N, H, W, C) batch of the E DAG states a block
+# consumes. Numerically identical to E independent MixedOps (vmap maps BN
+# batch statistics per lane, and each lane gets its own split init RNG) but
+# traces each primitive ONCE per block instead of once per edge — the mixed
+# supernet's lowered graph shrinks ~4x, which is what lets the 12-layer
+# reference search config AOT-compile (model_search.py traces the same ops
+# 2,640 times; its eager torch never pays that cost, XLA does).
+BankedMixedOp = nn.vmap(
+    MixedOp,
+    in_axes=(0, 0, None),
+    out_axes=0,
+    variable_axes={"params": 0, "batch_stats": 0},
+    split_rngs={"params": True},
+)
+
+
 class TrellisCell(nn.Module):
     """One trellis cell with up to three input branches.
 
@@ -93,6 +110,7 @@ class TrellisCell(nn.Module):
     pre_rate: float = 1.0
     cell_kind: str = "mixed"
     genotype: Optional[GenotypeRows] = None
+    banked: bool = False  # mixed only: one BankedMixedOp per block
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -115,14 +133,23 @@ class TrellisCell(nn.Module):
             raise ValueError(self.pre_rate)
 
         if self.cell_kind == "mixed":
-            k = sum(2 + i for i in range(self.B))
-            self.ops = [
-                MixedOp(
-                    C=self.C_out, axis_name=self.axis_name, dtype=self.dtype,
-                    name=f"mixed_{e}",
-                )
-                for e in range(k)
-            ]
+            if self.banked:
+                self.ops = [
+                    BankedMixedOp(
+                        C=self.C_out, axis_name=self.axis_name, dtype=self.dtype,
+                        name=f"bank_{i}",
+                    )
+                    for i in range(self.B)
+                ]
+            else:
+                k = sum(2 + i for i in range(self.B))
+                self.ops = [
+                    MixedOp(
+                        C=self.C_out, axis_name=self.axis_name, dtype=self.dtype,
+                        name=f"mixed_{e}",
+                    )
+                    for e in range(k)
+                ]
             self.assignment = None
         else:
             assert self.genotype is not None
@@ -136,7 +163,15 @@ class TrellisCell(nn.Module):
         offset = 0
         selected = dict(self.assignment) if self.assignment is not None else None
         op_iter = iter(self.ops) if selected is not None else None
+        banked = selected is None and self.banked
         for i in range(self.B):
+            if banked:
+                xs = jnp.stack(states, axis=0)  # (2+i, N, H, W, C)
+                ws = alphas[offset : offset + len(states)]  # (2+i, 8)
+                outs = self.ops[i](xs, ws, train)
+                states.append(jnp.sum(outs, axis=0))
+                offset += len(states) - 1
+                continue
             block_inputs = []
             for j, h in enumerate(states):
                 e = offset + j

@@ -180,3 +180,98 @@ def test_mixed_search_steps_jit():
     a2, _, _, aloss = as_(p2, bs2, arch, a_tx.init(arch), batch)
     assert np.isfinite(float(aloss))
     assert not np.allclose(np.asarray(arch["alphas"]), np.asarray(a2["alphas"]))
+
+
+# ------------------------------------------------------------- banked cells
+
+
+def _bank_cell_tree(tree, B):
+    """Restack a cell's per-edge mixed_{e} subtrees into bank_{i} stacked
+    lanes (the BankedMixedOp param layout)."""
+    if not isinstance(tree, dict):
+        return tree
+    if "mixed_0" in tree:
+        out = {k: v for k, v in tree.items() if not k.startswith("mixed_")}
+        offset = 0
+        for i in range(B):
+            n = 2 + i
+            lanes = [tree[f"mixed_{offset + j}"] for j in range(n)]
+            out[f"bank_{i}"] = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *lanes)
+            offset += n
+        return out
+    return {k: _bank_cell_tree(v, B) for k, v in tree.items()}
+
+
+def test_banked_mixed_op_lane_parity():
+    """BankedMixedOp lane e == plain MixedOp run with lane-e params, in both
+    train (incl. BN batch_stats updates) and eval (argmax-only) modes."""
+    from auto_dynamic_deeplab_tpu.models.supernet_cell import BankedMixedOp, MixedOp
+
+    rng = np.random.RandomState(5)
+    E, C = 3, 4
+    xs = jnp.asarray(rng.randn(E, 2, 9, 9, C), jnp.float32)
+    ws = jnp.asarray(jax.nn.softmax(jnp.asarray(rng.randn(E, 8)), axis=-1))
+    bank = BankedMixedOp(C=C)
+    v = bank.init(jax.random.PRNGKey(1), xs, ws, True)
+    out_tr, upd = bank.apply(v, xs, ws, True, mutable=["batch_stats"])
+    out_ev = bank.apply(v, xs, ws, False)
+
+    single = MixedOp(C=C)
+    for e in range(E):
+        lane = jax.tree.map(lambda a: a[e], v)
+        y_tr, upd_e = single.apply(lane, xs[e], ws[e], True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out_tr[e]), np.asarray(y_tr),
+                                   rtol=1e-5, atol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a[e]), np.asarray(b), rtol=1e-5, atol=1e-6),
+            upd["batch_stats"], upd_e["batch_stats"],
+        )
+        y_ev = single.apply(lane, xs[e], ws[e], False)
+        np.testing.assert_allclose(np.asarray(out_ev[e]), np.asarray(y_ev),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_banked_supernet_matches_unbanked():
+    """The banked mixed supernet is the SAME network: transplanting the
+    unbanked params (stacked per block) reproduces its outputs, and the
+    lowered graph is substantially smaller."""
+    kw = dict(num_layers=6, F=2, B=2, exit_layer=3, remat=False)
+    m = ModelSearch(5, **kw)
+    mb = ModelSearch(5, banked=True, **kw)
+    x = X[:1]
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    vb = {
+        "arch": v["arch"],
+        "params": _bank_cell_tree(v["params"], 2),
+        "batch_stats": _bank_cell_tree(v["batch_stats"], 2),
+    }
+    # layouts agree leaf-for-leaf with the real banked init
+    vb_init = mb.init(jax.random.PRNGKey(0), x, train=True)
+    assert jax.tree.structure(vb) == jax.tree.structure(vb_init)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape, vb, vb_init))
+
+    for train in (True, False):
+        outs = m.apply(v, x, train=train, mutable=["batch_stats"] if train else False)
+        outs_b = mb.apply(vb, x, train=train, mutable=["batch_stats"] if train else False)
+        if train:
+            outs, outs_b = outs[0], outs_b[0]
+        # Tolerance: banking reassociates the block sum (jnp.sum over a
+        # stacked axis vs sequential adds) and batches the convs; through 6
+        # trellis layers of affine-free BNs that drifts to ~5e-4 max abs on
+        # logits of order 2 (measured) — float noise, not semantics.
+        for o, ob in zip(outs, outs_b):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ob),
+                                       rtol=2e-3, atol=2e-3)
+
+    # the point of banking: a much smaller traced/lowered program
+    def lowered_size(mod, vars_):
+        f = jax.jit(lambda vv, xx: mod.apply(vv, xx, train=False))
+        return len(f.lower(vars_, x).as_text())
+
+    # At B=2 the banking factor is only 2-3 edges/block (0.6x measured);
+    # the real B=5 config banks 2-6 edges per block for a ~4x shrink —
+    # asserted here only directionally to keep the test small.
+    s_plain = lowered_size(m, v)
+    s_bank = lowered_size(mb, vb)
+    assert s_bank < 0.75 * s_plain, (s_bank, s_plain)
