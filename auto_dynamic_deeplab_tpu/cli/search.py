@@ -32,6 +32,13 @@ def build_parser():
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--genotype", default=None)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--mixed-exec", default="edges",
+                   choices=["edges", "banked", "scan"],
+                   help="mixed-cell execution: 'edges' per-edge ops "
+                        "(reference-shaped), 'banked' vmapped per block, "
+                        "'scan' whole-DAG lax.scan (~20x smaller compiled "
+                        "graph; required at the 12L F=20 scale). Same "
+                        "numerics; checkpoint param layouts differ")
     p.add_argument("--exit-layers", type=int, nargs="+", default=None,
                    help="override exit stations (default: C-derived)")
     p.add_argument("--no-dp", action="store_true",
@@ -73,6 +80,7 @@ def main(argv=None):
         model = ModelSearch(
             nclass, num_layers=args.num_layers, F=args.F, B=args.B,
             exit_layer=exits[0], remat=not args.no_remat, axis_name=axis_name,
+            mixed_exec=args.mixed_exec,
         )
     elif args.network == "baseline_path":
         # 2-exit fixed-station variant (search_layer.py, broken in the ref)

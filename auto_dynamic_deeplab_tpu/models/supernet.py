@@ -69,12 +69,12 @@ class TrellisSupernet(nn.Module):
     # output from two layers back (level_*[-2]) instead of a dense concat.
     dense: bool = True
     remat: bool = True
-    # banked=True traces each mixed-cell block as ONE vmapped-over-edges
-    # BankedMixedOp (see supernet_cell.BankedMixedOp) — same numerics,
-    # ~4x smaller lowered graph. Required for the 12-layer mixed search
-    # config to AOT-compile; param layout differs (bank_i stacked vs
-    # mixed_e), so it is opt-in.
-    banked: bool = False
+    # How mixed cells execute (supernet_cell.TrellisCell.mixed_exec): same
+    # numerics, progressively smaller traced graphs — 'edges' (reference-
+    # shaped), 'banked' (edges vmapped per block), 'scan' (whole DAG as one
+    # lax.scan'd banked op; the only form whose 12L F=20 bilevel step fits
+    # the AOT compiler). Param layouts differ, so it is part of the config.
+    mixed_exec: str = "edges"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -111,7 +111,8 @@ class TrellisSupernet(nn.Module):
             return cell_cls(
                 B=B, C_out=C_out, has_down=down, has_same=same, has_up=up,
                 pre_rate=pre_rate, cell_kind=self.cell_kind,
-                genotype=self.genotype, banked=self.banked, name=name, **kw,
+                genotype=self.genotype, mixed_exec=self.mixed_exec,
+                name=name, **kw,
             )
 
         cells: List = []
@@ -232,6 +233,10 @@ class TrellisSupernet(nn.Module):
         alphas = None
         if self.cell_kind == "mixed":
             alphas = jax.nn.softmax(self.alphas.value.astype(jnp.float32), axis=-1)
+            if self.mixed_exec == "scan":
+                from .supernet_cell import alpha_table
+
+                alphas = alpha_table(alphas, self.B)
 
         temp = self.stem0_bn(self.stem0_conv(x), train)
         l4 = [self.stem1_bn(self.stem1_conv(nn.relu(temp)), train)]

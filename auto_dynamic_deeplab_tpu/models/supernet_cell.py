@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -89,6 +90,41 @@ BankedMixedOp = nn.vmap(
 )
 
 
+class _ScanBlock(nn.Module):
+    """One DAG block as a `lax.scan` body: a (B+2)-lane BankedMixedOp over
+    the full state buffer, block output written at lane ``i + 2``.
+
+    Lanes beyond the block's real 2+i edges carry all-zero mixing weights,
+    so they contribute exactly zero in train mode (0 * y) AND in eval mode
+    (argmax of zeros selects 'none' → exact zero) — padding needs no mask.
+    """
+
+    C: int
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, buf, xs, train):
+        i, w = xs  # i: block index (traced), w: (B+2, 8) padded alpha rows
+        outs = BankedMixedOp(
+            C=self.C, axis_name=self.axis_name, dtype=self.dtype, name="bank"
+        )(buf, w, train)
+        new = jnp.sum(outs, axis=0).astype(buf.dtype)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, new[None], i + 2, axis=0)
+        return buf, None
+
+
+def alpha_table(alphas: jnp.ndarray, B: int) -> jnp.ndarray:
+    """(k, 8) per-edge mixing weights → (B, B+2, 8) per-block lane table,
+    rows beyond a block's 2+i real edges zero-padded (see _ScanBlock)."""
+    table = jnp.zeros((B, B + 2, alphas.shape[-1]), alphas.dtype)
+    offset = 0
+    for i in range(B):
+        table = table.at[i, : 2 + i].set(alphas[offset : offset + 2 + i])
+        offset += 2 + i
+    return table
+
+
 class TrellisCell(nn.Module):
     """One trellis cell with up to three input branches.
 
@@ -110,7 +146,13 @@ class TrellisCell(nn.Module):
     pre_rate: float = 1.0
     cell_kind: str = "mixed"
     genotype: Optional[GenotypeRows] = None
-    banked: bool = False  # mixed only: one BankedMixedOp per block
+    # mixed-cell execution (same numerics, different traced-graph size):
+    #   'edges'  — one MixedOp per edge (reference-shaped, largest graph)
+    #   'banked' — one BankedMixedOp per block (edges vmapped, ~4x smaller)
+    #   'scan'   — ONE lax.scan'd BankedMixedOp for the whole DAG (each
+    #              primitive traced once per cell per branch, ~20x smaller;
+    #              pays ~40% padded-lane compute — see _ScanBlock)
+    mixed_exec: str = "edges"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -133,7 +175,19 @@ class TrellisCell(nn.Module):
             raise ValueError(self.pre_rate)
 
         if self.cell_kind == "mixed":
-            if self.banked:
+            if self.mixed_exec == "scan":
+                scan_cls = nn.scan(
+                    _ScanBlock,
+                    variable_axes={"params": 0, "batch_stats": 0},
+                    split_rngs={"params": True},
+                    in_axes=(0, nn.broadcast),
+                    length=self.B,
+                )
+                self.ops = [scan_cls(
+                    C=self.C_out, axis_name=self.axis_name, dtype=self.dtype,
+                    name="blocks",
+                )]
+            elif self.mixed_exec == "banked":
                 self.ops = [
                     BankedMixedOp(
                         C=self.C_out, axis_name=self.axis_name, dtype=self.dtype,
@@ -141,7 +195,7 @@ class TrellisCell(nn.Module):
                     )
                     for i in range(self.B)
                 ]
-            else:
+            elif self.mixed_exec == "edges":
                 k = sum(2 + i for i in range(self.B))
                 self.ops = [
                     MixedOp(
@@ -150,6 +204,8 @@ class TrellisCell(nn.Module):
                     )
                     for e in range(k)
                 ]
+            else:
+                raise ValueError(self.mixed_exec)
             self.assignment = None
         else:
             assert self.genotype is not None
@@ -159,11 +215,26 @@ class TrellisCell(nn.Module):
             ]
 
     def _dag(self, s0, s1, alphas, train):
+        selected = dict(self.assignment) if self.assignment is not None else None
+        if selected is None and self.mixed_exec == "scan":
+            # alphas arrives pre-tabled (B, B+2, 8) from the supernet
+            B = self.B
+            buf = jnp.concatenate(
+                [
+                    jnp.stack([s0, s1], 0).astype(jnp.float32),
+                    jnp.zeros((B,) + s0.shape, jnp.float32),
+                ],
+                axis=0,
+            )
+            idxs = jnp.arange(B, dtype=jnp.int32)
+            buf, _ = self.ops[0](buf, (idxs, alphas), train)
+            blocks = jnp.moveaxis(buf[2:], 0, -2)  # (N, H, W, B, C)
+            return blocks.reshape(blocks.shape[:-2] + (-1,))
+
         states = [s0, s1]
         offset = 0
-        selected = dict(self.assignment) if self.assignment is not None else None
         op_iter = iter(self.ops) if selected is not None else None
-        banked = selected is None and self.banked
+        banked = selected is None and self.mixed_exec == "banked"
         for i in range(self.B):
             if banked:
                 xs = jnp.stack(states, axis=0)  # (2+i, N, H, W, C)

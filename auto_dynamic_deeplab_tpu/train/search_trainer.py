@@ -142,7 +142,16 @@ class SearchTrainer:
                         batch_b = next(iter_b)
                     except StopIteration:
                         iter_b = iter(self.loader_b)
-                        batch_b = next(iter_b)
+                        try:
+                            batch_b = next(iter_b)
+                        except StopIteration:
+                            raise RuntimeError(
+                                "loader_b yields no batches: the arch half "
+                                f"of the 50/50 search split ({len(self.loader_b.dataset)} "
+                                f"samples) is smaller than one batch "
+                                f"({self.loader_b.batch_size}) — shrink the "
+                                "batch or grow the dataset"
+                            ) from None
                     if batch_b["image"].shape[0] % self.n_shards == 0:
                         break
                 else:

@@ -69,7 +69,8 @@ def _mem(jitted=None, *args, **kwargs):
     return out
 
 
-def search_supernet_step(res=321, bs=2, network="supernet", remat=True):
+def search_supernet_step(res=321, bs=2, network="supernet", remat=True,
+                         mixed_exec="edges"):
     from auto_dynamic_deeplab_tpu.models import ModelNetSearch, ModelSearch
     from auto_dynamic_deeplab_tpu.train import lr_schedule, make_search_steps
     from auto_dynamic_deeplab_tpu.train.step import make_arch_optimizer, make_optimizer
@@ -86,7 +87,8 @@ def search_supernet_step(res=321, bs=2, network="supernet", remat=True):
         )
     else:
         model = ModelSearch(
-            19, num_layers=12, F=20, B=5, remat=remat, dtype=jnp.bfloat16
+            19, num_layers=12, F=20, B=5, remat=remat, dtype=jnp.bfloat16,
+            mixed_exec=mixed_exec,
         )
     rng = np.random.RandomState(0)
     batch = {
@@ -123,7 +125,8 @@ def search_supernet_step(res=321, bs=2, network="supernet", remat=True):
     return {
         "config": (
             f"{'ModelNetSearch (reference search_cityscapes.sh recipe)' if network == 'net_supernet' else 'ModelSearch mixed'}"
-            f" 12L F=20 B=5, {res}x{res} bs{bs}, remat={remat}, bf16"
+            f" 12L F=20 B=5, {res}x{res} bs{bs}, remat={remat}, "
+            f"mixed_exec={mixed_exec}, bf16"
         ),
         "n_weight_params": n_params,
         "weight_step_ms": round(t_w, 1),
@@ -183,11 +186,17 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--search-bs", type=int, default=2)
     ap.add_argument("--train-bs", type=int, default=16)
+    ap.add_argument("--only", nargs="+", default=None,
+                    help="run only these phases (train_769, search_net_321, "
+                         "search_supernet_321); merge into --out if it exists")
     args = ap.parse_args()
 
     import time
 
     result = {"device": str(jax.devices()[0])}
+    if args.only and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            result.update(json.load(f))
 
     def flush():
         text = json.dumps(result, indent=2)
@@ -201,7 +210,7 @@ def main():
     # not lose the phases that DID finish (r2 runbook lesson: 90 min of
     # supernet compile produced an empty scale_proof.txt).
     bs = args.train_bs
-    while bs >= 4:
+    while bs >= 4 and (args.only is None or "train_769" in args.only):
         print(f"[scale_proof] train_769 bs{bs} ...", flush=True)
         t0 = time.time()
         try:
@@ -217,15 +226,21 @@ def main():
     # The reference's published stage-1 recipe (search_cityscapes.sh) is the
     # path-only net_supernet at bs16 — prove that first. The full mixed
     # cell+path supernet (the reference's --network default, never used by
-    # its shipped scripts) is a far larger graph: its bilevel step's MLIR is
-    # ~88 MB and the relay's AOT compile helper was SIGKILLed on it
-    # (08-19); keep trying it last, without remat (smaller HLO; 321x321 bs2
-    # activations are small enough without checkpointing).
+    # its shipped scripts) is a far larger graph: per-edge, its bilevel
+    # step's MLIR is ~88 MB and the relay's AOT compile helper was
+    # SIGKILLed on it (08-19); banked cells shrank it to 18 MB serialized
+    # and STILL got SIGKILLed. mixed_exec='scan' traces each cell's
+    # primitives once (whole DAG as one lax.scan'd banked op) for another
+    # ~5x; run without remat (smaller HLO; 321x321 bs2 activations are
+    # small enough without checkpointing).
     phases = [
         ("search_net_321", dict(bs=args.train_bs, network="net_supernet")),
-        ("search_supernet_321", dict(bs=args.search_bs, remat=False)),
+        ("search_supernet_321", dict(bs=args.search_bs, remat=False,
+                                     mixed_exec="scan")),
     ]
     for name, kw in phases:
+        if args.only is not None and name not in args.only:
+            continue
         print(f"[scale_proof] {name} {kw} "
               "(compile may take hours on a relay) ...", flush=True)
         t0 = time.time()

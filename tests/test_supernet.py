@@ -232,21 +232,51 @@ def test_banked_mixed_op_lane_parity():
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_banked_supernet_matches_unbanked():
-    """The banked mixed supernet is the SAME network: transplanting the
-    unbanked params (stacked per block) reproduces its outputs, and the
-    lowered graph is substantially smaller."""
+def _scan_cell_tree(tree, B):
+    """Banked layout -> scan layout: stack the B banks zero-padded to B+2
+    lanes under blocks/bank (the lax.scan'd BankedMixedOp layout). Padded
+    lanes carry zero mixing weight, so zero params are never observable."""
+    if not isinstance(tree, dict):
+        return tree
+    if "bank_0" in tree:
+        out = {k: v for k, v in tree.items() if not k.startswith("bank_")}
+        lanes = B + 2
+
+        def padded(i):
+            def f(a):
+                width = [(0, lanes - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, width)
+            return jax.tree.map(f, tree[f"bank_{i}"])
+
+        out["blocks"] = {"bank": jax.tree.map(
+            lambda *xs: jnp.stack(xs, 0), *[padded(i) for i in range(B)]
+        )}
+        return out
+    return {k: _scan_cell_tree(v, B) for k, v in tree.items()}
+
+
+@pytest.mark.parametrize("mode", ["banked", "scan"])
+def test_mixed_exec_supernet_matches_edges(mode):
+    """'banked' and 'scan' mixed-cell execution are the SAME network as the
+    per-edge form: transplanting the per-edge params (stacked per block,
+    zero-padded to scan lanes) reproduces its outputs, and the lowered
+    graph is substantially smaller."""
     kw = dict(num_layers=6, F=2, B=2, exit_layer=3, remat=False)
     m = ModelSearch(5, **kw)
-    mb = ModelSearch(5, banked=True, **kw)
+    mb = ModelSearch(5, mixed_exec=mode, **kw)
     x = X[:1]
     v = m.init(jax.random.PRNGKey(0), x, train=True)
+
+    def convert(tree):
+        banked = _bank_cell_tree(tree, 2)
+        return banked if mode == "banked" else _scan_cell_tree(banked, 2)
+
     vb = {
         "arch": v["arch"],
-        "params": _bank_cell_tree(v["params"], 2),
-        "batch_stats": _bank_cell_tree(v["batch_stats"], 2),
+        "params": convert(v["params"]),
+        "batch_stats": convert(v["batch_stats"]),
     }
-    # layouts agree leaf-for-leaf with the real banked init
+    # layouts agree leaf-for-leaf with the real init of that mode
     vb_init = mb.init(jax.random.PRNGKey(0), x, train=True)
     assert jax.tree.structure(vb) == jax.tree.structure(vb_init)
     assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape, vb, vb_init))
@@ -256,22 +286,50 @@ def test_banked_supernet_matches_unbanked():
         outs_b = mb.apply(vb, x, train=train, mutable=["batch_stats"] if train else False)
         if train:
             outs, outs_b = outs[0], outs_b[0]
-        # Tolerance: banking reassociates the block sum (jnp.sum over a
-        # stacked axis vs sequential adds) and batches the convs; through 6
-        # trellis layers of affine-free BNs that drifts to ~5e-4 max abs on
-        # logits of order 2 (measured) — float noise, not semantics.
+        # Tolerance: both modes reassociate the block sum and batch the
+        # convs differently; through 6 trellis layers of affine-free BNs
+        # that drifts to ~5e-4 (banked) / ~3e-3 (scan, wider lane batching)
+        # max abs on logits of order 2-4 (measured) — float noise, not
+        # semantics (a wrong transplant errs at O(1)).
+        tol = 2e-3 if mode == "banked" else 5e-3
         for o, ob in zip(outs, outs_b):
             np.testing.assert_allclose(np.asarray(o), np.asarray(ob),
-                                       rtol=2e-3, atol=2e-3)
+                                       rtol=tol, atol=tol)
 
-    # the point of banking: a much smaller traced/lowered program
+    # the point of both modes: a much smaller traced/lowered program.
+    # At B=2 the factors are small (2-3 edges/block); the real B=5 config
+    # shrinks ~4x (banked) / ~20x (scan) — asserted directionally here.
     def lowered_size(mod, vars_):
         f = jax.jit(lambda vv, xx: mod.apply(vv, xx, train=False))
         return len(f.lower(vars_, x).as_text())
 
-    # At B=2 the banking factor is only 2-3 edges/block (0.6x measured);
-    # the real B=5 config banks 2-6 edges per block for a ~4x shrink —
-    # asserted here only directionally to keep the test small.
     s_plain = lowered_size(m, v)
-    s_bank = lowered_size(mb, vb)
-    assert s_bank < 0.75 * s_plain, (s_bank, s_plain)
+    s_mode = lowered_size(mb, vb)
+    assert s_mode < 0.75 * s_plain, (s_mode, s_plain)
+
+
+def test_scan_supernet_bilevel_grads():
+    """The scan form must TRAIN: jitted bilevel weight+arch steps produce
+    finite losses and move the alphas (grads flow through the lax.scan,
+    the padded lanes, and the alpha table)."""
+    from auto_dynamic_deeplab_tpu.train import lr_schedule, make_search_steps
+    from auto_dynamic_deeplab_tpu.train.step import (
+        make_arch_optimizer,
+        make_optimizer,
+    )
+
+    m = ModelSearch(5, num_layers=6, F=2, B=2, exit_layer=3, remat=False,
+                    mixed_exec="scan")
+    x = X[:1]
+    y = jnp.asarray(np.random.RandomState(3).randint(0, 5, (1, 65, 65)))
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    params, arch, bs = v["params"], v["arch"], v["batch_stats"]
+    w_tx = make_optimizer(lr_schedule("poly", 0.025, 2, 2), weight_decay=3e-4)
+    a_tx = make_arch_optimizer(3e-3, 1e-3)
+    ws, as_ = make_search_steps(m, w_tx, a_tx)
+    batch = {"image": x, "label": y}
+    p2, bs2, _, loss = ws(params, bs, arch, w_tx.init(params), batch)
+    assert np.isfinite(float(loss))
+    a2, _, _, aloss = as_(p2, bs2, arch, a_tx.init(arch), batch)
+    assert np.isfinite(float(aloss))
+    assert not np.allclose(np.asarray(arch["alphas"]), np.asarray(a2["alphas"]))
