@@ -25,3 +25,7 @@ __all__ += ["data_shard", "initialize", "spatial_shard_forward"]
 from .tensor import channel_spec, make_tp_train_step, shard_train_state
 
 __all__ += ["channel_spec", "make_tp_train_step", "shard_train_state"]
+
+from .pipeline import PipelinedDynamicInference
+
+__all__ += ["PipelinedDynamicInference"]
