@@ -29,6 +29,11 @@ def build_parser():
     p.add_argument("--genotype", default=None)
     p.add_argument("--flops", action="store_true")
     p.add_argument(
+        "--pipeline-devices", type=int, default=0,
+        help=">=2: pipeline the dynamic-inference segments across this many "
+        "devices (per-stage weight partitioning, parallel/pipeline.py)",
+    )
+    p.add_argument(
         "--cell-exec",
         default="xla",
         choices=["xla", "packed", "flat", "flat-packed", "dense-sep"],
@@ -94,7 +99,8 @@ def main(argv=None):
 
     if args.dynamic:
         stats = evaluation.dynamic_inference(
-            val_loader, threshold=args.threshold, confidence=args.confidence
+            val_loader, threshold=args.threshold, confidence=args.confidence,
+            pipeline_devices=args.pipeline_devices,
         )
     else:
         stats = evaluation.validate(val_loader)

@@ -94,7 +94,11 @@ class Evaluation:
         confidence: str = "edm",
         warmup_shape=None,
         fused: bool = True,
+        pipeline_devices: int = 0,
     ) -> Dict:
+        """``pipeline_devices >= 2`` runs the early-exit segments pipelined
+        across that many devices (parallel/pipeline.py: per-stage weight
+        partitioning, explicit handoff) instead of single-device programs."""
         evaluator = Evaluator(self.num_classes)
         latency = AverageMeter()
         conf_meter = AverageMeter()
@@ -102,11 +106,34 @@ class Evaluation:
         early_exits = 0
         exit_histogram = [0] * len(self.model.exit_layers)
 
-        infer = self.engine.infer_fused if fused else self.engine.infer
-        if warmup_shape is not None and not fused:
-            self.engine.warmup(warmup_shape, confidence, threshold)
+        if pipeline_devices >= 2:
+            import time
 
-        warmed = fused or warmup_shape is not None
+            from ..parallel.pipeline import PipelinedDynamicInference
+
+            fused = False
+            holder = {}
+
+            def infer(x, threshold=threshold, confidence=confidence):
+                if "pipe" not in holder:  # programs are per-shape: build lazily
+                    holder["pipe"] = PipelinedDynamicInference(
+                        self.model, self.variables, tuple(x.shape[1:3]),
+                        devices=jax.devices()[:pipeline_devices],
+                        confidence=confidence, threshold=threshold,
+                        edm=self.edm, edm_variables=self.edm_variables,
+                        num_classes=self.num_classes,
+                    )
+                t0 = time.perf_counter()
+                logits, exit_idx, conf = holder["pipe"].infer(x)
+                jax.block_until_ready(logits)
+                return logits, exit_idx, time.perf_counter() - t0, conf
+
+        else:
+            infer = self.engine.infer_fused if fused else self.engine.infer
+            if warmup_shape is not None and not fused:
+                self.engine.warmup(warmup_shape, confidence, threshold)
+
+        warmed = fused or warmup_shape is not None or pipeline_devices >= 2
         first = True
         for batch in loader:
             images, labels = batch["image"], batch["label"]

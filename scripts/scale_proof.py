@@ -248,7 +248,12 @@ def main():
             result[name] = search_supernet_step(**kw)
             result[name]["phase_wall_s"] = round(time.time() - t0, 1)
         except Exception as e:
-            result[name] = {"error": f"{type(e).__name__}: {e}"[:2000]}
+            # keep head AND tail: relay compile errors bury the actual
+            # compiler diagnostic after kilobytes of proxy log preamble
+            msg = f"{type(e).__name__}: {e}"
+            if len(msg) > 4000:
+                msg = msg[:2000] + " ...[elided]... " + msg[-2000:]
+            result[name] = {"error": msg}
         flush()
 
 

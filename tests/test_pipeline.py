@@ -60,6 +60,31 @@ def test_pipeline_matches_single_device_engine(rng):
     )
 
 
+def test_evaluation_dynamic_pipelined(rng):
+    """Evaluation.dynamic_inference(pipeline_devices=2) drives the whole
+    metric surface (mIoU/latency/fps/exit-rate) through the pipeline and
+    matches the single-device engine's decisions."""
+    from auto_dynamic_deeplab_tpu.data import DataLoader, SyntheticSegmentation
+    from auto_dynamic_deeplab_tpu.train.evaluator import Evaluation
+
+    model, variables, _ = _setup(rng)
+    evaluation = Evaluation(model, variables, num_classes=19)
+    loader = DataLoader(
+        SyntheticSegmentation(length=4, crop_size=(17, 17), seed=2),
+        batch_size=2, shuffle=False, drop_last=False,
+    )
+    stats = evaluation.dynamic_inference(
+        loader, threshold=0.5, confidence="entropy", pipeline_devices=2
+    )
+    ref = evaluation.dynamic_inference(
+        loader, threshold=0.5, confidence="entropy", fused=False
+    )
+    assert stats["n_images"] == 4
+    assert stats["exit_histogram"] == ref["exit_histogram"]
+    assert stats["miou"] == ref["miou"]
+    assert stats["fps"] > 0
+
+
 def test_pipeline_early_exit_stays_on_first_stage(rng):
     model, variables, x = _setup(rng)
     devices = jax.devices()[:2]
