@@ -119,6 +119,38 @@ class PipelinedDynamicInference:
         return keys
 
     # ------------------------------------------------------------- running
+    def warmup(self):
+        """Compile + execute every stage program once on a zeros input so
+        per-image timings never fold in lazy compilation: without this, deep
+        stages JIT only when the first non-exiting image reaches them and the
+        compile lands inside that image's measured latency."""
+        x = jnp.zeros((1, *self.size, 3), jnp.float32)
+        carry = jax.device_put(x, self.stages[0]["device"])
+        for s, stage in enumerate(self.stages):
+            if s > 0:
+                carry = jax.device_put(carry, stage["device"])
+            for kind, k in stage["programs"]:
+                if kind == "decide":
+                    out = self.engine._decide(
+                        k, self.size, self.confidence, self.threshold
+                    ).raw(stage["variables"], stage["edm_variables"], carry)
+                    carry = out[0]
+                    if len(out) <= 2:
+                        # edm path: the exit branch decodes the head as a
+                        # separate program on the same stage — compile it too
+                        jax.block_until_ready(
+                            self.engine._head(
+                                self.engine.exits[k], self.size
+                            ).raw(stage["variables"], None, carry)
+                        )
+                else:
+                    jax.block_until_ready(
+                        self.engine._final(self.size).raw(
+                            stage["variables"], None, carry
+                        )
+                    )
+        jax.block_until_ready(carry)
+
     def infer(self, x):
         """Batch-1 early-exit inference through the pipeline.
 

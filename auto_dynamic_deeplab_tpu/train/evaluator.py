@@ -111,20 +111,31 @@ class Evaluation:
 
             from ..parallel.pipeline import PipelinedDynamicInference
 
+            if len(jax.devices()) < pipeline_devices:
+                # min(len(devices), len(programs)) inside the pipeline would
+                # otherwise silently collapse to fewer (possibly 1) stages and
+                # report single-device numbers labeled as pipelined.
+                raise RuntimeError(
+                    f"pipeline_devices={pipeline_devices} requested but only "
+                    f"{len(jax.devices())} devices are available"
+                )
+
             fused = False
-            holder = {}
+            holder = {}  # keyed by spatial size: programs are per-shape
 
             def infer(x, threshold=threshold, confidence=confidence):
-                if "pipe" not in holder:  # programs are per-shape: build lazily
-                    holder["pipe"] = PipelinedDynamicInference(
-                        self.model, self.variables, tuple(x.shape[1:3]),
+                key = tuple(x.shape[1:3])
+                if key not in holder:
+                    holder[key] = PipelinedDynamicInference(
+                        self.model, self.variables, key,
                         devices=jax.devices()[:pipeline_devices],
                         confidence=confidence, threshold=threshold,
                         edm=self.edm, edm_variables=self.edm_variables,
                         num_classes=self.num_classes,
                     )
+                    holder[key].warmup()  # keep compiles out of timings
                 t0 = time.perf_counter()
-                logits, exit_idx, conf = holder["pipe"].infer(x)
+                logits, exit_idx, conf = holder[key].infer(x)
                 jax.block_until_ready(logits)
                 return logits, exit_idx, time.perf_counter() - t0, conf
 

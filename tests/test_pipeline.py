@@ -85,6 +85,39 @@ def test_evaluation_dynamic_pipelined(rng):
     assert stats["fps"] > 0
 
 
+def test_evaluation_pipelined_variable_sizes_and_device_check(rng):
+    """ADVICE r2: the pipeline holder is keyed by spatial size (a second
+    input size builds a second pipeline instead of tripping the per-shape
+    assert), and requesting more devices than exist raises instead of
+    silently collapsing to fewer stages."""
+    import numpy as np
+    import pytest
+
+    from auto_dynamic_deeplab_tpu.train.evaluator import Evaluation
+
+    model, variables, _ = _setup(rng)
+    evaluation = Evaluation(model, variables, num_classes=19)
+    r = np.random.RandomState(3)
+
+    def batch(hw):
+        return {
+            "image": r.randn(1, *hw, 3).astype(np.float32),
+            "label": r.randint(0, 19, size=(1, *hw)).astype(np.int32),
+        }
+
+    loader = [batch((17, 17)), batch((33, 33))]
+    stats = evaluation.dynamic_inference(
+        loader, threshold=0.5, confidence="entropy", pipeline_devices=2
+    )
+    assert stats["n_images"] == 2
+
+    with pytest.raises(RuntimeError, match="devices"):
+        evaluation.dynamic_inference(
+            loader, threshold=0.5, confidence="entropy",
+            pipeline_devices=len(jax.devices()) + 1,
+        )
+
+
 def test_pipeline_early_exit_stays_on_first_stage(rng):
     model, variables, x = _setup(rng)
     devices = jax.devices()[:2]
