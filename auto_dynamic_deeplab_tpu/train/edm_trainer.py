@@ -72,36 +72,58 @@ def train_edm(
     lr: float = 1e-3,
     seed: int = 0,
 ):
-    """Returns (edm_model, edm_variables, final_epoch_loss)."""
+    """Returns (edm_model, edm_variables, final_epoch_loss).
+
+    The whole training run is ONE jitted lax.scan over every (epoch, batch)
+    step: a per-step host loop with a loss readback costs a device round
+    trip per step (50-500 ms each on a remote-relay TPU — 400 epochs used
+    to take minutes of pure RTT), while the scan is a single dispatch and a
+    single readback of the loss history. Step math (Adam + L1, batch order,
+    per-epoch host-side permutation) is unchanged."""
     edm = EDM()
     variables = edm.init(jax.random.PRNGKey(seed), jnp.asarray(features[:1]))
     tx = optax.adam(lr)
-    opt_state = tx.init(variables["params"])
-
-    @jax.jit
-    def step(params, opt_state, f, e):
-        def loss_fn(p):
-            pred = edm.apply({"params": p}, f)[:, 0]
-            return jnp.mean(jnp.abs(pred - e))  # L1 (train_edm.py:108)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
 
     params = variables["params"]
     n = features.shape[0]
     assert n > 0, "empty EDM dataset"
     batch_size = min(batch_size, n)  # small datasets must still train
     rng = np.random.RandomState(seed)
-    last = float("nan")
-    for _ in range(epochs):
-        order = rng.permutation(n)
-        losses = []
-        for b in range(0, n - batch_size + 1, batch_size):
-            idx = order[b : b + batch_size]
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(features[idx]), jnp.asarray(entropies[idx])
+    idx = np.stack(
+        [
+            np.stack(
+                [
+                    order[b : b + batch_size]
+                    for b in range(0, n - batch_size + 1, batch_size)
+                ]
             )
-            losses.append(float(loss))
-        last = float(np.mean(losses)) if losses else last
+            for order in (rng.permutation(n) for _ in range(epochs))
+        ]
+    )  # (epochs, batches_per_epoch, batch_size)
+
+    @jax.jit
+    def run(params, feats, ents, idx):
+        opt_state = tx.init(params)
+
+        def one_step(carry, ib):
+            params, opt_state = carry
+            f, e = feats[ib], ents[ib]
+
+            def loss_fn(p):
+                pred = edm.apply({"params": p}, f)[:, 0]
+                return jnp.mean(jnp.abs(pred - e))  # L1 (train_edm.py:108)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            one_step, (params, opt_state), idx.reshape(-1, idx.shape[-1])
+        )
+        return params, losses
+
+    params, losses = run(
+        params, jnp.asarray(features), jnp.asarray(entropies), jnp.asarray(idx)
+    )
+    last = float(np.asarray(losses).reshape(epochs, -1)[-1].mean())
     return edm, {"params": params}, last

@@ -26,6 +26,18 @@ reference comparison: it is the full-depth/early-exit device-time ratio
 import json
 import os
 import sys
+import time
+
+_T0 = time.monotonic()
+# Hard wall-clock budget: the driver runs bench under its own timeout and a
+# kill mid-run records nothing (round 2: rc=124, no JSON). Phases beyond the
+# headline are skipped when the remaining budget can't fit their compiles,
+# and a watchdog prints the best-so-far JSON and exits 0 at the deadline.
+_DEADLINE_S = float(os.environ.get("ADD_BENCH_DEADLINE_S", "420"))
+
+
+def _remaining() -> float:
+    return _DEADLINE_S - (time.monotonic() - _T0)
 
 if "--smoke" in sys.argv[1:]:
     # Smoke mode validates the bench CODE PATH on CPU. The JAX_PLATFORMS
@@ -113,12 +125,42 @@ def _backend_watchdog(seconds: float = 240.0):
     return done.set
 
 
+def _deadline_watchdog(result_holder: dict):
+    """At the deadline, print the best-so-far result (if the headline was
+    measured) and exit 0 — a driver-side kill records nothing at all."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        while not done.wait(min(10.0, max(_remaining(), 0.1))):
+            if _remaining() > 0:
+                continue
+            if "result" in result_holder:
+                result_holder["result"]["note"] = (
+                    result_holder["result"].get("note", "")
+                    + " [deadline hit: later phases skipped]"
+                )
+                print(json.dumps(result_holder["result"]), flush=True)
+                os._exit(0)
+            sys.stderr.write(
+                f"bench: deadline {_DEADLINE_S:.0f}s hit before the headline "
+                "metric was measured — aborting\n"
+            )
+            os._exit(18)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done.set
+
+
 def main(smoke: bool = False):
     """smoke=True: tiny shapes / tiny F so the whole surface executes in
     minutes on CPU — validates the bench code path, not performance."""
     cancel = _backend_watchdog()
     jax.devices()  # backend init; hangs here if the relay is dead
     cancel()
+    holder: dict = {}
+    cancel_deadline = _deadline_watchdog(holder)
 
     from auto_dynamic_deeplab_tpu.models import ADD
     from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
@@ -163,10 +205,6 @@ def main(smoke: bool = False):
     def full(x):  # impossible threshold → full depth
         return program(x, jnp.float32(-1.0))
 
-    # Weights as jit ARGUMENTS (not closed-over constants): remote-relay
-    # runtimes re-upload embedded constants every execution (~46 MB here).
-    fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
-
     # On CPU (smoke) profiler traces carry no device events → 0 ms; clamp so
     # smoke mode still exercises every downstream formula without dividing
     # by zero (the smoke numbers are code-path validation, not performance).
@@ -179,122 +217,156 @@ def main(smoke: bool = False):
 
     t_early = _t(trace_and_sum(early, x, runs=runs))
     t_full = _t(trace_and_sum(full, x, runs=runs))
-    t_fwd = _t(trace_and_sum(fwd, variables, x, runs=runs))
+
+    result = {
+        "metric": (
+            "SMOKE_add_c2_dynamic_earlyexit" if smoke
+            else "add_c2_dynamic_earlyexit_1025x2049_b1"
+        ),
+        "value": round(1.0 / t_early, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(t_full / t_early, 4),
+        "vs_baseline_meaning": "full-depth/early-exit device-time ratio (NOT a reference comparison; the reference publishes no numbers — BASELINE.md)",
+        "early_exit_latency_ms": round(t_early * 1000, 2),
+        "full_depth_latency_ms": round(t_full * 1000, 2),
+        "device": str(jax.devices()[0]),
+        "note": "device-time via jax.profiler trace (host wall clocks lie on relays); single-program lax.cond dynamic inference",
+    }
+    # Headline measured: print immediately (insurance against a driver-side
+    # kill mid-extras — the LAST JSON line printed wins) and arm the watchdog
+    # fallback. Each further phase runs only if its compile budget fits.
+    holder["result"] = result
+    print(json.dumps(result), flush=True)
+
+    # ---- all-exits forward (informational) --------------------------------
+    if smoke or _remaining() > 90:
+        # Weights as jit ARGUMENTS (not closed-over constants): remote-relay
+        # runtimes re-upload embedded constants every execution (~46 MB).
+        fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
+        t_fwd = _t(trace_and_sum(fwd, variables, x, runs=runs))
+        result["all_exits_forward_ms"] = round(t_fwd * 1000, 2)
 
     # ---- entropy threshold sweep: exit rate vs expected latency -----------
     # Exit decisions per image per threshold from the fused program (cheap,
     # no tracing); expected latency mixes the measured per-exit times.
-    ents = []
-    for xi in xs:
-        _, _, conf = jax.tree.map(np.asarray, program(xi, jnp.float32(-1.0)))
-        ents.append(float(conf))
-    qs = np.quantile(ents, [0.25, 0.5, 0.75])
-    sweep = []
-    thresholds = sorted({0.0, *[round(float(q), 4) for q in qs], 1.0})
-    for thr in thresholds:
-        exits = [
-            int(np.asarray(program(xi, jnp.float32(thr))[1])) for xi in xs
-        ]
-        rate = float(np.mean([e == 0 for e in exits]))
-        sweep.append(
-            {
-                "threshold": thr,
-                "early_exit_rate": rate,
-                "expected_latency_ms": round(
-                    (rate * t_early + (1 - rate) * t_full) * 1000, 2
-                ),
-            }
-        )
-
-    # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
-    edm, edm_vars, edm_loss = _train_synthetic_edm(model, variables, rng, edm_hw)
-    edm_engine = DynamicInferenceEngine(
-        model, variables, edm=edm, edm_variables=edm_vars
-    )
-    edm_prog = edm_engine.fused_program(eval_hw, confidence="edm")
-    confs = [float(np.asarray(edm_prog(xi, jnp.float32(-1e9))[2])) for xi in xs]
-    thr_mix = float(np.median(confs))  # EDM exits when conf <= threshold
-    t_edm_early = _t(
-        trace_and_sum(lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=runs_slow)
-    )
-    t_edm_full = _t(
-        trace_and_sum(lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=runs_slow)
-    )
-    edm_rate = float(
-        np.mean(
-            [
-                int(np.asarray(edm_prog(xi, jnp.float32(thr_mix))[1])) == 0
-                for xi in xs
-            ]
-        )
-    )
+    if smoke or _remaining() > 45:
+        # Dispatch everything asynchronously, block once: a per-call
+        # readback costs a full relay round trip (50-500 ms each).
+        conf_pend = [program(xi, jnp.float32(-1.0))[2] for xi in xs]
+        jax.block_until_ready(conf_pend)
+        ents = [float(np.asarray(c)) for c in conf_pend]
+        qs = np.quantile(ents, [0.25, 0.5, 0.75])
+        sweep = []
+        thresholds = sorted({0.0, *[round(float(q), 4) for q in qs], 1.0})
+        exit_pend = {
+            thr: [program(xi, jnp.float32(thr))[1] for xi in xs]
+            for thr in thresholds
+        }
+        jax.block_until_ready(exit_pend)
+        for thr in thresholds:
+            exits = [int(np.asarray(e)) for e in exit_pend[thr]]
+            rate = float(np.mean([e == 0 for e in exits]))
+            sweep.append(
+                {
+                    "threshold": thr,
+                    "early_exit_rate": rate,
+                    "expected_latency_ms": round(
+                        (rate * t_early + (1 - rate) * t_full) * 1000, 2
+                    ),
+                }
+            )
+        result["entropy_threshold_sweep"] = sweep
+        print(json.dumps(result), flush=True)
 
     # ---- training throughput: stage-2 step at 769x769 bf16 ----------------
     # remat=False: the full fwd+bwd fits HBM up to bs16 at 769x769 (measured
     # 08-19, profile_train_step.py) and remat costs 19-23% step time here
     # (bs8: 164.2 -> 133.2 ms). Remat remains available (--remat) for
     # configs that need it (supernet search, larger crops/batches).
-    train_model = ADD(
-        cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
-        F=F, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
-        remat=False,
-    )
-    bs = train_bs
-    tx = make_optimizer(lr_schedule("poly", 0.05, 100, 100), weight_decay=4e-5)
-    state = create_train_state(
-        train_model,
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, *train_hw, 3), jnp.float32),
-        tx,
-    )
-    step = make_single_device_train_step(train_model, tx)
-    batch = {
-        "image": jnp.asarray(rng.randn(bs, *train_hw, 3).astype(np.float32)),
-        "label": jnp.asarray(
-            rng.randint(0, 19, size=(bs, *train_hw)).astype(np.int32)
-        ),
-    }
-    # the step donates its state argument: chain states across timed calls
-    holder = {"state": state}
-
-    def timed_step(_):
-        holder["state"], metrics = step(holder["state"], batch)
-        return metrics
-
-    t_train = _t(trace_and_sum(timed_step, 0, runs=runs_slow))
-
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "SMOKE_add_c2_dynamic_earlyexit" if smoke
-                    else "add_c2_dynamic_earlyexit_1025x2049_b1"
-                ),
-                "value": round(1.0 / t_early, 4),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(t_full / t_early, 4),
-                "vs_baseline_meaning": "full-depth/early-exit device-time ratio (NOT a reference comparison; the reference publishes no numbers — BASELINE.md)",
-                "early_exit_latency_ms": round(t_early * 1000, 2),
-                "full_depth_latency_ms": round(t_full * 1000, 2),
-                "all_exits_forward_ms": round(t_fwd * 1000, 2),
-                "entropy_threshold_sweep": sweep,
-                "edm_gated": {
-                    "early_exit_latency_ms": round(t_edm_early * 1000, 2),
-                    "full_depth_latency_ms": round(t_edm_full * 1000, 2),
-                    "edm_train_l1_loss": round(edm_loss, 4),
-                    "median_threshold": round(thr_mix, 4),
-                    "exit_rate_at_median": edm_rate,
-                },
-                "train_769x769_bf16": {
-                    "batch": bs,
-                    "step_ms": round(t_train * 1000, 2),
-                    "images_per_sec_per_chip": round(bs / t_train, 2),
-                },
-                "device": str(jax.devices()[0]),
-                "note": "device-time via jax.profiler trace (host wall clocks lie on relays); single-program lax.cond dynamic inference",
-            }
+    if smoke or _remaining() > 150:
+        train_model = ADD(
+            cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
+            F=F, B=5, low_level_layer=cfg["low_level_layer"],
+            dtype=jnp.bfloat16, remat=False,
         )
-    )
+        bs = train_bs
+        tx = make_optimizer(
+            lr_schedule("poly", 0.05, 100, 100), weight_decay=4e-5
+        )
+        state = create_train_state(
+            train_model,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *train_hw, 3), jnp.float32),
+            tx,
+        )
+        step = make_single_device_train_step(train_model, tx)
+        batch = {
+            "image": jnp.asarray(rng.randn(bs, *train_hw, 3).astype(np.float32)),
+            "label": jnp.asarray(
+                rng.randint(0, 19, size=(bs, *train_hw)).astype(np.int32)
+            ),
+        }
+        # the step donates its state argument: chain states across calls
+        sholder = {"state": state}
+
+        def timed_step(_):
+            sholder["state"], metrics = step(sholder["state"], batch)
+            return metrics
+
+        t_train = _t(trace_and_sum(timed_step, 0, runs=runs_slow))
+        result["train_769x769_bf16"] = {
+            "batch": bs,
+            "step_ms": round(t_train * 1000, 2),
+            "images_per_sec_per_chip": round(bs / t_train, 2),
+        }
+        print(json.dumps(result), flush=True)
+
+    # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
+    if smoke or _remaining() > 180:
+        edm, edm_vars, edm_loss = _train_synthetic_edm(
+            model, variables, rng, edm_hw
+        )
+        edm_engine = DynamicInferenceEngine(
+            model, variables, edm=edm, edm_variables=edm_vars
+        )
+        edm_prog = edm_engine.fused_program(eval_hw, confidence="edm")
+        conf_pend = [edm_prog(xi, jnp.float32(-1e9))[2] for xi in xs]
+        jax.block_until_ready(conf_pend)
+        confs = [float(np.asarray(c)) for c in conf_pend]
+        thr_mix = float(np.median(confs))  # EDM exits when conf <= threshold
+        t_edm_early = _t(
+            trace_and_sum(
+                lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=runs_slow
+            )
+        )
+        t_edm_full = _t(
+            trace_and_sum(
+                lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=runs_slow
+            )
+        )
+        rate_pend = [edm_prog(xi, jnp.float32(thr_mix))[1] for xi in xs]
+        jax.block_until_ready(rate_pend)
+        edm_rate = float(
+            np.mean([int(np.asarray(e)) == 0 for e in rate_pend])
+        )
+        result["edm_gated"] = {
+            "early_exit_latency_ms": round(t_edm_early * 1000, 2),
+            "full_depth_latency_ms": round(t_edm_full * 1000, 2),
+            "edm_train_l1_loss": round(edm_loss, 4),
+            "median_threshold": round(thr_mix, 4),
+            "exit_rate_at_median": edm_rate,
+        }
+
+    skipped = [
+        k for k in (
+            "all_exits_forward_ms", "entropy_threshold_sweep",
+            "train_769x769_bf16", "edm_gated",
+        ) if k not in result
+    ]
+    if skipped:
+        result["skipped_phases"] = skipped
+    cancel_deadline()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
