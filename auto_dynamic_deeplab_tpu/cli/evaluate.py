@@ -8,6 +8,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data import make_data_loader
@@ -73,7 +74,9 @@ def main(argv=None):
     from ..data.loader import peek_batch
 
     sample = peek_batch(val_loader)["image"][:1]
-    variables = model.init(jax.random.PRNGKey(args.seed), sample, train=False)
+    from ..utils.initialize import jit_init
+
+    variables = jit_init(model, jax.random.PRNGKey(args.seed), sample, train=False)
 
     import orbax.checkpoint as ocp
 
@@ -87,8 +90,16 @@ def main(argv=None):
     edm = edm_vars = None
     if args.confidence == "edm" and args.dynamic:
         edm = EDM()
-        logits_feat = model.apply(variables, sample, train=False, method="get_feature")
-        edm_vars = edm.init(jax.random.PRNGKey(0), logits_feat[1])
+        # Only the feature SHAPE is needed to init the EDM: eval_shape traces
+        # without executing (an eager get_feature here ran the whole backbone
+        # op-by-op — minutes of dispatch RTT on a remote-relay TPU).
+        feat = jax.eval_shape(
+            lambda v, x: model.apply(v, x, train=False, method="get_feature"),
+            variables, sample,
+        )[1]
+        edm_vars = edm.init(
+            jax.random.PRNGKey(0), jnp.zeros(feat.shape, feat.dtype)
+        )
         if args.edm_resume:
             ckpt = ocp.StandardCheckpointer()
             edm_vars = ckpt.restore(

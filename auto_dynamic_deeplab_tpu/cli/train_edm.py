@@ -49,7 +49,9 @@ def main(argv=None):
     from ..data.loader import peek_batch
 
     sample = peek_batch(train_loader)["image"][:1]
-    variables = model.init(jax.random.PRNGKey(args.seed), sample, train=False)
+    from ..utils.initialize import jit_init
+
+    variables = jit_init(model, jax.random.PRNGKey(args.seed), sample, train=False)
     if args.resume:
         import orbax.checkpoint as ocp
 

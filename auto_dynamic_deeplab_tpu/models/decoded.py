@@ -197,18 +197,28 @@ class DecodedNet(nn.Module):
             cell = self.cells[i]
             if not self.dense:
                 s_pp, s_p = cell(s_pp, s_p, train)
-            elif i < 3:
-                s_pp, s_p, fmap = cell(s_pp, s_p, train)
-                dense.append(fmap)
-                if i == 2:
-                    x = s_p
-            elif i < n - 2:
-                _, x, fmap = cell(dense[:-1], x, train)
-                dense.append(fmap)
-            elif i == n - 2:
-                _, x = cell(dense[:-1], x, train)
             else:
-                _, x = cell(dense, x, train)
+                # Branch on the SAME predicates the constructor used
+                # (dense_in = i>=3, dense_out = i<n-2) so short decoded
+                # paths (n<6), where the ranges overlap, stay consistent —
+                # the reference hardcodes n=12 and never hits this.
+                takes_dense = i >= 3
+                produces = i < n - 2
+                if takes_dense:
+                    ins = dense if i == n - 1 else dense[:-1]
+                    if produces:
+                        _, x, fmap = cell(ins, x, train)
+                        dense.append(fmap)
+                    else:
+                        _, x = cell(ins, x, train)
+                else:
+                    if produces:
+                        s_pp, s_p, fmap = cell(s_pp, s_p, train)
+                        dense.append(fmap)
+                    else:
+                        s_pp, s_p = cell(s_pp, s_p, train)
+                    if i == 2:
+                        x = s_p
 
             if i == self.low_level_layer:
                 low_level = self.low_level_conv(s_p, train)

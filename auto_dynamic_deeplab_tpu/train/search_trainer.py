@@ -70,8 +70,10 @@ class SearchTrainer:
             from ..data.loader import peek_batch
 
             sample_input = peek_batch(loader_a)["image"][:1]
-        variables = model.init(
-            jax.random.PRNGKey(seed), jnp.asarray(sample_input), train=True
+        from ..utils.initialize import jit_init
+
+        variables = jit_init(
+            model, jax.random.PRNGKey(seed), sample_input, train=True
         )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})

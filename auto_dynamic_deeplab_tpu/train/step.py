@@ -63,7 +63,9 @@ def make_arch_optimizer(
 
 
 def create_train_state(model, rng, sample_input, tx) -> TrainState:
-    variables = model.init(rng, sample_input, train=True)
+    from ..utils.initialize import jit_init
+
+    variables = jit_init(model, rng, sample_input, train=True)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -39,6 +39,11 @@ _DEADLINE_S = float(os.environ.get("ADD_BENCH_DEADLINE_S", "420"))
 def _remaining() -> float:
     return _DEADLINE_S - (time.monotonic() - _T0)
 
+
+def _mark(phase: str):
+    sys.stderr.write(f"bench[{time.monotonic() - _T0:7.1f}s] {phase}\n")
+    sys.stderr.flush()
+
 if "--smoke" in sys.argv[1:]:
     # Smoke mode validates the bench CODE PATH on CPU. The JAX_PLATFORMS
     # env var alone is not honored when a platform plugin is preloaded
@@ -159,6 +164,7 @@ def main(smoke: bool = False):
     cancel = _backend_watchdog()
     jax.devices()  # backend init; hangs here if the relay is dead
     cancel()
+    _mark('backend up')
     holder: dict = {}
     cancel_deadline = _deadline_watchdog(holder)
 
@@ -186,8 +192,13 @@ def main(smoke: bool = False):
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
         F=F, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
     )
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3), jnp.float32), train=False
+    from auto_dynamic_deeplab_tpu.utils.initialize import jit_init
+
+    # jitted init: the eager flax init measured 274 s of pure dispatch RTT
+    # over the relay (bench phase log) — one compiled program instead.
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3), jnp.float32),
+        train=False,
     )
     xs = [
         jnp.asarray(rng.randn(1, *eval_hw, 3).astype(np.float32))
@@ -196,6 +207,7 @@ def main(smoke: bool = False):
     x = xs[0]
 
     # ---- entropy-gated fused program: per-exit device times ---------------
+    _mark('model init done')
     engine = DynamicInferenceEngine(model, variables)
     program = engine.fused_program(eval_hw, confidence="entropy")
 
@@ -215,8 +227,11 @@ def main(smoke: bool = False):
             raise RuntimeError("empty device trace: refusing to report 0 ms")
         return max(r["total_ms"], 1e-6) / 1000.0
 
+    _mark('fused program built; tracing early')
     t_early = _t(trace_and_sum(early, x, runs=runs))
+    _mark('early traced')
     t_full = _t(trace_and_sum(full, x, runs=runs))
+    _mark('full traced')
 
     result = {
         "metric": (
@@ -238,18 +253,47 @@ def main(smoke: bool = False):
     holder["result"] = result
     print(json.dumps(result), flush=True)
 
-    # ---- all-exits forward (informational) --------------------------------
+    # ---- p50 latency (BASELINE.md: "images/sec/chip and p50 latency") -----
+    if not smoke and _remaining() > 90:
+        # Median across independent single-run traces (host wall percentiles
+        # are meaningless through the relay's noisy RTT).
+        _mark('p50 singles')
+        singles = sorted(
+            _t(trace_and_sum(early, x, runs=1)) for _ in range(5)
+        )
+        # Higher than the 8-run mean: an isolated execution carries
+        # per-dispatch overhead that pipelined back-to-back runs amortize.
+        result["p50_early_exit_latency_ms"] = round(singles[2] * 1000, 2)
+        print(json.dumps(result), flush=True)
+
+    # ---- all-exits forward + FLOPs/params (eval.py:233-238 surface) -------
     if smoke or _remaining() > 90:
         # Weights as jit ARGUMENTS (not closed-over constants): remote-relay
         # runtimes re-upload embedded constants every execution (~46 MB).
+        _mark('all-exits fwd')
         fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
         t_fwd = _t(trace_and_sum(fwd, variables, x, runs=runs))
         result["all_exits_forward_ms"] = round(t_fwd * 1000, 2)
+        try:
+            from auto_dynamic_deeplab_tpu.utils.flops import count_params
+
+            analysis = fwd.lower(variables, x).compile().cost_analysis()
+            if isinstance(analysis, list):
+                analysis = analysis[0]
+            result["complexity"] = {
+                "params": count_params(variables["params"]),
+                "all_exits_forward_gflops": round(
+                    float((analysis or {}).get("flops", -1e9)) / 1e9, 2
+                ),
+            }
+        except Exception as exc:  # cost analysis is backend-dependent
+            result["complexity"] = {"error": str(exc)[:120]}
 
     # ---- entropy threshold sweep: exit rate vs expected latency -----------
     # Exit decisions per image per threshold from the fused program (cheap,
     # no tracing); expected latency mixes the measured per-exit times.
     if smoke or _remaining() > 45:
+        _mark('sweep')
         # Dispatch everything asynchronously, block once: a per-call
         # readback costs a full relay round trip (50-500 ms each).
         conf_pend = [program(xi, jnp.float32(-1.0))[2] for xi in xs]
@@ -284,6 +328,7 @@ def main(smoke: bool = False):
     # (bs8: 164.2 -> 133.2 ms). Remat remains available (--remat) for
     # configs that need it (supernet search, larger crops/batches).
     if smoke or _remaining() > 150:
+        _mark('train phase')
         train_model = ADD(
             cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
             F=F, B=5, low_level_layer=cfg["low_level_layer"],
@@ -323,6 +368,7 @@ def main(smoke: bool = False):
 
     # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
     if smoke or _remaining() > 180:
+        _mark('edm phase')
         edm, edm_vars, edm_loss = _train_synthetic_edm(
             model, variables, rng, edm_hw
         )
@@ -363,6 +409,8 @@ def main(smoke: bool = False):
             "train_769x769_bf16", "edm_gated",
         ) if k not in result
     ]
+    if not smoke and "p50_early_exit_latency_ms" not in result:
+        skipped.append("p50_early_exit_latency_ms")
     if skipped:
         result["skipped_phases"] = skipped
     cancel_deadline()

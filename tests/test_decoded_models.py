@@ -115,3 +115,27 @@ def test_add_gradients_flow_to_all_exits():
         if "cell_" in jax.tree_util.keystr(p) and float(jnp.abs(g).max()) > 0
     }
     assert touched_cells == set(range(12)), touched_cells
+
+
+@pytest.mark.parametrize("n", [3, 4, 5])
+def test_add_short_dense_paths(n):
+    """Short decoded paths (n < 6) overlap the dense-cell index ranges
+    (dense_in = i>=3, dense_out = i<n-2); run_cells must branch on the same
+    predicates as the constructor. The reference hardcodes n=12 and crashes
+    here — full-chain search at small scale decodes such paths."""
+    import numpy as np
+
+    from auto_dynamic_deeplab_tpu.models import ADD
+    from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE
+
+    path = [1, 2, 2, 3, 3][:n]
+    c_index = [1] if n > 2 else [0]
+    model = ADD(path, c_index, AUTODEEPLAB_GENOTYPE, 19, F=2, B=5,
+                low_level_layer=0, axis_name=None)
+    x = jnp.zeros((1, 33, 33, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    assert [tuple(o.shape) for o in outs] == [(1, 33, 33, 19)] * 2
+    assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+    logits, feat = model.apply(variables, x, train=False, method="get_feature")
+    assert logits.shape == (1, 33, 33, 19)

@@ -49,7 +49,8 @@ def test_full_product_chain(tmp_path):
     path, genotype = decoded["path"], decoded["genotype"]
     assert path.shape == (4,) and path[0] in (0, 1)
     assert genotype is not None and genotype.shape == (2 * 2, 2)
-    assert np.all(genotype[:, 1] > 0)  # decoded ops are never 'none'
+    # ops may include 'none' (decoding_formulas.py:98 "this can include
+    # none op") — the decoded cell must build and run regardless
 
     # ---- stage 2: train the DECODED multi-exit network (train.py) --------
     model = ADD(
