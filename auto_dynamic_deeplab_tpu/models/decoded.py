@@ -260,15 +260,21 @@ class DecodedNet(nn.Module):
 
     # ------------------------------------------------------------- programs
 
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> List[jnp.ndarray]:
-        """All-exit forward: list of C logits, each (N, H, W, num_classes)."""
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, class_leading: bool = False
+    ) -> List[jnp.ndarray]:
+        """All-exit forward: list of C logits, each (N, H, W, num_classes) —
+        or (N, num_classes, H, W) with ``class_leading`` (keeps the 19-class
+        dim off the TPU lane minor; pair with the loss's channel_axis=1)."""
         state = self.stem_state(x, train)
         out = []
         start = 0
         size = x.shape[1:3]
         for i in self.exit_layers:
             state = self.run_cells(state, start, i, train)
-            out.append(self.exit_logits(state, i, size, train))
+            out.append(
+                self.exit_logits(state, i, size, train, class_leading)
+            )
             start = i + 1
         return out
 

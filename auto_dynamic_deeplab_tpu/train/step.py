@@ -75,7 +75,7 @@ def create_train_state(model, rng, sample_input, tx) -> TrainState:
     )
 
 
-def _step_body(model, tx, class_weight, state: TrainState, batch):
+def _step_body(model, tx, class_weight, class_leading, state: TrainState, batch):
     """One SPMD shard's train step; collectives over DATA_AXIS."""
 
     def loss_fn(params):
@@ -84,8 +84,12 @@ def _step_body(model, tx, class_weight, state: TrainState, batch):
             batch["image"],
             train=True,
             mutable=["batch_stats"],
+            **({"class_leading": True} if class_leading else {}),
         )
-        loss = multi_exit_cross_entropy(outs, batch["label"], class_weight)
+        loss = multi_exit_cross_entropy(
+            outs, batch["label"], class_weight,
+            channel_axis=1 if class_leading else -1,
+        )
         return loss, mutated["batch_stats"]
 
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -107,14 +111,17 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh,
     class_weight: Optional[jnp.ndarray] = None,
+    class_leading: bool = False,
 ) -> Callable:
     """Compile the data-parallel train step over `mesh`.
 
     The model must be constructed with axis_name=DATA_AXIS so its BatchNorms
     psum statistics across shards. state is replicated, batch sharded on the
-    leading axis.
+    leading axis. ``class_leading`` runs the logits tail + CE in (N, C, H, W)
+    (keeps the 19-class dim off the TPU lane minor — identical loss/grads,
+    less padded HBM traffic).
     """
-    body = partial(_step_body, model, tx, class_weight)
+    body = partial(_step_body, model, tx, class_weight, class_leading)
     sharded = jax.shard_map(
         body,
         mesh=mesh,
@@ -126,7 +133,8 @@ def make_train_step(
 
 
 def make_single_device_train_step(
-    model, tx, class_weight: Optional[jnp.ndarray] = None
+    model, tx, class_weight: Optional[jnp.ndarray] = None,
+    class_leading: bool = False,
 ) -> Callable:
     """Plain jitted train step (model built with axis_name=None)."""
 
@@ -137,8 +145,12 @@ def make_single_device_train_step(
                 batch["image"],
                 train=True,
                 mutable=["batch_stats"],
+                **({"class_leading": True} if class_leading else {}),
             )
-            loss = multi_exit_cross_entropy(outs, batch["label"], class_weight)
+            loss = multi_exit_cross_entropy(
+                outs, batch["label"], class_weight,
+                channel_axis=1 if class_leading else -1,
+            )
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

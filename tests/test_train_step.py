@@ -194,3 +194,32 @@ def test_make_data_mesh_divides_batch():
     assert make_data_mesh(6).shape["data"] == 2
     assert make_data_mesh(3) is None  # gcd(8, 3) == 1
     assert make_data_mesh(1) is None
+
+
+def test_class_leading_step_matches_default(rng):
+    """class_leading=True runs the logits tail + CE in (N, C, H, W); the
+    resize math is bit-identical (resize_bilinear_cl) and the CE is the same
+    reduction over a transposed layout, so loss and parameter updates must
+    match the NHWC step to fp32 noise."""
+    sched = lr_schedule("poly", 0.05, 10, 4)
+    x = rng.randn(2, 17, 17, 3).astype(np.float32)
+    y = rng.randint(0, 19, size=(2, 17, 17)).astype(np.int32)
+    y[0, :4] = 255  # exercise ignore_index masking in both layouts
+    batch = {"image": jnp.asarray(x), "label": jnp.asarray(y)}
+    weight = jnp.asarray(rng.rand(19).astype(np.float32) + 0.5)
+
+    model = _model(None)
+    tx = make_optimizer(sched, weight_decay=4e-5)
+    s0a = create_train_state(model, jax.random.PRNGKey(0), batch["image"][:1], tx)
+    s0b = create_train_state(model, jax.random.PRNGKey(0), batch["image"][:1], tx)
+
+    step_nhwc = make_single_device_train_step(model, tx, weight)
+    step_cl = make_single_device_train_step(model, tx, weight, class_leading=True)
+    sa, ma = step_nhwc(s0a, batch)
+    sb, mb = step_cl(s0b, batch)
+
+    assert float(ma["loss"]) == pytest.approx(float(mb["loss"]), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sb.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
