@@ -185,6 +185,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--search-bs", type=int, default=2)
+    ap.add_argument("--supernet-remat", action="store_true",
+                    help="remat the mixed-supernet cells: the scan+no-remat "
+                         "form OOMed HBM at compile (r2) — remat trades the "
+                         "stacked scan temps for recompute")
     ap.add_argument("--train-bs", type=int, default=16)
     ap.add_argument("--only", nargs="+", default=None,
                     help="run only these phases (train_769, search_net_321, "
@@ -235,7 +239,8 @@ def main():
     # small enough without checkpointing).
     phases = [
         ("search_net_321", dict(bs=args.train_bs, network="net_supernet")),
-        ("search_supernet_321", dict(bs=args.search_bs, remat=False,
+        ("search_supernet_321", dict(bs=args.search_bs,
+                                     remat=args.supernet_remat,
                                      mixed_exec="scan")),
     ]
     for name, kw in phases:
