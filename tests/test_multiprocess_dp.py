@@ -75,14 +75,7 @@ print("MP_LOSSES", rank, " ".join(f"{l:.6f}" for l in losses), flush=True)
 """
 
 
-@pytest.mark.skipif(sys.platform != "linux", reason="Gloo transport")
-def test_two_process_data_parallel_train_step(tmp_path):
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    child = tmp_path / "child.py"
-    child.write_text(_CHILD)
+def _launch_pair(child, port):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = []
     for pid in range(2):
@@ -100,20 +93,41 @@ def test_two_process_data_parallel_train_step(tmp_path):
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                cwd=repo,
             )
         )
-    outs = []
+    outs, rcs = [], []
     try:
         for p in procs:
             out, _ = p.communicate(timeout=1500)
             outs.append(out)
-            assert p.returncode == 0, out[-3000:]
+            rcs.append(p.returncode)
     finally:
         for p in procs:  # reap the sibling if one child hung or failed
             if p.poll() is None:
                 p.kill()
                 p.communicate()
+    return outs, rcs
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo transport")
+def test_two_process_data_parallel_train_step(tmp_path):
+    child = tmp_path / "child.py"
+    child.write_text(_CHILD)
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        outs, rcs = _launch_pair(child, port)
+        if all(rc == 0 for rc in rcs):
+            break
+        # Gloo's context init has a hardcoded ~30 s key-value window; on a
+        # loaded single-core host a cold compile cache skews the two
+        # children past it. The failed attempt leaves its compiles in the
+        # persistent cache, so one retry runs with near-zero skew.
+        transient = any("DEADLINE_EXCEEDED" in o for o in outs)
+        assert attempt == 0 and transient, outs[rcs.index(
+            next(rc for rc in rcs if rc != 0))][-3000:]
 
     per_proc = {}
     for out in outs:
