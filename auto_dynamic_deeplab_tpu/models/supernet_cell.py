@@ -217,12 +217,17 @@ class TrellisCell(nn.Module):
     def _dag(self, s0, s1, alphas, train):
         selected = dict(self.assignment) if self.assignment is not None else None
         if selected is None and self.mixed_exec == "scan":
-            # alphas arrives pre-tabled (B, B+2, 8) from the supernet
+            # alphas arrives pre-tabled (B, B+2, 8) from the supernet.
+            # The state buffer carries the POLICY compute dtype — exactly what
+            # the edges/banked forms carry between blocks. (It was f32: under
+            # a bf16 policy that both doubled the scan-stacked HBM footprint
+            # at scale and made scan numerics diverge from the other forms.)
             B = self.B
+            buf_dtype = self.dtype or jnp.float32
             buf = jnp.concatenate(
                 [
-                    jnp.stack([s0, s1], 0).astype(jnp.float32),
-                    jnp.zeros((B,) + s0.shape, jnp.float32),
+                    jnp.stack([s0, s1], 0).astype(buf_dtype),
+                    jnp.zeros((B,) + s0.shape, buf_dtype),
                 ],
                 axis=0,
             )

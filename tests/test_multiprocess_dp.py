@@ -66,9 +66,17 @@ batch = {
 }
 
 step = make_train_step(model, tx, mesh)
+# AOT-compile BEFORE the first collective, then rendezvous on the
+# coordination-service barrier (gRPC — not Gloo): Gloo's context init has a
+# hardcoded ~30 s key-value window, and on a loaded single-core host the two
+# children's compile times can skew past it. With the barrier, both sides
+# enter the first collective microseconds apart regardless of compile skew.
+compiled = step.lower(state, batch).compile()
+from jax._src import distributed as _dist
+_dist.global_state.client.wait_at_barrier("mp_dp_compiled", timeout_in_ms=1200000)
 losses = []
 for _ in range(2):
-    state, metrics = step(state, batch)
+    state, metrics = compiled(state, batch)
     losses.append(float(metrics["loss"]))  # replicated scalar
 assert all(np.isfinite(l) for l in losses), losses
 print("MP_LOSSES", rank, " ".join(f"{l:.6f}" for l in losses), flush=True)
