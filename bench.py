@@ -403,10 +403,36 @@ def main(smoke: bool = False):
             "exit_rate_at_median": edm_rate,
         }
 
+    # ---- bucketed batched dynamic inference (serving throughput) ----------
+    # BASELINE.json: early exits must save FLOPs "under XLA (masked batching
+    # / cond-gated programs)". The cond-gated program is the batch-1 number
+    # above; this is the batched path: per-exit confidences for the whole
+    # batch, then only the continuing images re-launch, compacted to padded
+    # buckets (train/dynamic.py infer_batch).
+    if smoke or _remaining() > 120:
+        _mark('bucketed batch phase')
+        xb = jnp.concatenate(xs, axis=0)  # (4, H, W, 3)
+        conf_pend = [program(xi, jnp.float32(2.0))[2] for xi in xs]
+        jax.block_until_ready(conf_pend)
+        thr_b = float(np.median([float(np.asarray(c)) for c in conf_pend]))
+
+        def bucketed(_):
+            return engine.infer_batch(xb, threshold=thr_b, confidence="entropy")
+
+        _, exits_b = bucketed(0)  # warm + record the exit split
+        t_bucket = _t(trace_and_sum(bucketed, 0, runs=runs_slow))
+        result["bucketed_dynamic_b4"] = {
+            "batch": int(xb.shape[0]),
+            "device_ms_per_batch": round(t_bucket * 1000, 2),
+            "images_per_sec_per_chip": round(xb.shape[0] / t_bucket, 2),
+            "threshold": round(thr_b, 4),
+            "early_exit_count": int(sum(int(e) == 0 for e in exits_b)),
+        }
+
     skipped = [
         k for k in (
             "all_exits_forward_ms", "entropy_threshold_sweep",
-            "train_769x769_bf16", "edm_gated",
+            "train_769x769_bf16", "edm_gated", "bucketed_dynamic_b4",
         ) if k not in result
     ]
     if not smoke and "p50_early_exit_latency_ms" not in result:
