@@ -67,14 +67,22 @@ class DynamicInferenceEngine:
     def _stem_state(self, variables, x):
         """Backbone stem state; routes to the fused Pallas kernel on TPU."""
         # fused_stems is a batch-1 program (it reads x[0]); batched inference
-        # takes the XLA stems instead of silently dropping samples.
-        if self._pallas_stems and x.shape[0] == 1:
+        # unrolls it per image (static batch under jit): ~2x the XLA stems
+        # at bs4 full-res (4 x 1.9 ms vs 15.4 ms, bucketed-infer trace).
+        if self._pallas_stems:
             from ..kernels.stems import fold_stem_bns, fused_stems
 
             args = fold_stem_bns(
                 variables["params"]["stems"], variables["batch_stats"]["stems"]
             )
-            s0, s1 = fused_stems(x, *args)
+            if x.shape[0] == 1:
+                s0, s1 = fused_stems(x, *args)
+            else:
+                parts = [
+                    fused_stems(x[i : i + 1], *args) for i in range(x.shape[0])
+                ]
+                s0 = jnp.concatenate([p[0] for p in parts], axis=0)
+                s1 = jnp.concatenate([p[1] for p in parts], axis=0)
             return {
                 "prev_prev": s0,
                 "prev": s1,

@@ -178,19 +178,32 @@ def test_fused_cond_matches_segmented(rng, model_and_vars):
             assert f_conf == pytest.approx(seg_conf, rel=1e-4)
 
 
-def test_pallas_stems_batch_fallback(rng, model_and_vars):
-    """use_pallas_stems=True with N>1 must take the XLA stems (fused_stems is
-    a batch-1 program that reads x[0]); without the guard this either crashes
-    (CPU: Mosaic won't lower) or silently drops samples 1..N-1."""
-    model, variables = model_and_vars
+def test_pallas_stems_batched_unrolled(rng):
+    """use_pallas_stems=True with N>1 unrolls the batch-1 fused-stems kernel
+    per image (it used to fall back to XLA stems — ~2x slower at bs4 full
+    res); every sample must match the XLA path, not just sample 0."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model = ADD(
+        _PATH, _C_INDEX, AUTODEEPLAB_GENOTYPE, 19,
+        F=2, B=5, low_level_layer=0, dtype=jnp.bfloat16,
+    )
     x = jnp.asarray(rng.randn(2, 33, 33, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
     plain = DynamicInferenceEngine(model, variables, use_pallas_stems=False)
     forced = DynamicInferenceEngine(model, variables, use_pallas_stems=True)
     assert forced._pallas_stems
     ref_logits, ref_exit = plain.infer_batch(x, threshold=-1.0, confidence="entropy")
-    got_logits, got_exit = forced.infer_batch(x, threshold=-1.0, confidence="entropy")
+    with pltpu.force_tpu_interpret_mode():
+        got_logits, got_exit = forced.infer_batch(
+            x, threshold=-1.0, confidence="entropy"
+        )
     np.testing.assert_array_equal(ref_exit, got_exit)
-    np.testing.assert_allclose(got_logits, ref_logits, rtol=1e-5, atol=1e-5)
+    for i in range(2):  # per-sample: a kernel reading only x[0] fails i=1
+        rel = np.abs(got_logits[i] - ref_logits[i]).max() / (
+            np.abs(ref_logits[i]).max() + 1e-9
+        )
+        assert rel < 0.1, (i, rel)
 
 
 def test_pallas_stems_engine_interpret(rng):
