@@ -409,7 +409,7 @@ def main(smoke: bool = False):
     # above; this is the batched path: per-exit confidences for the whole
     # batch, then only the continuing images re-launch, compacted to padded
     # buckets (train/dynamic.py infer_batch).
-    if smoke or _remaining() > 120:
+    if smoke or _remaining() > 80:
         _mark('bucketed batch phase')
         xb = jnp.concatenate(xs, axis=0)  # (4, H, W, 3)
         conf_pend = [program(xi, jnp.float32(2.0))[2] for xi in xs]
