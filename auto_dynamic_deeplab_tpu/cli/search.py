@@ -32,6 +32,10 @@ def build_parser():
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--genotype", default=None)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--resume", default=None,
+                   help="'auto' (newest committed checkpoint) or a checkpoint "
+                        "dir — restores weights/arch/optimizers/epoch "
+                        "(reference search.py:104-116)")
     p.add_argument("--mixed-exec", default="edges",
                    choices=["edges", "banked", "scan"],
                    help="mixed-cell execution: 'edges' per-edge ops "
@@ -108,6 +112,7 @@ def main(argv=None):
         run_dir=args.run_dir,
         dataset=args.dataset,
         checkname=args.checkname or f"search_{args.network}_F{args.F}",
+        resume=args.resume,
     )
     trainer = SearchTrainer(
         model, loader_a, loader_b, val_loader, cfg, seed=args.seed, mesh=mesh

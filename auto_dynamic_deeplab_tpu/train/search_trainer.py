@@ -20,7 +20,7 @@ import optax
 
 from ..nas.decode import genotype_decode, viterbi_decode
 from ..utils.metrics import Evaluator
-from ..utils.saver import Saver
+from ..utils.saver import Saver, find_latest_checkpoint, restore_checkpoint
 from ..utils.summaries import TrainingSummary
 from .schedules import lr_schedule
 
@@ -43,6 +43,10 @@ class SearchConfig:
     run_dir: str = "run"
     dataset: str = "synthetic"
     checkname: str = "search"
+    # 'auto' = newest committed checkpoint for this run_dir/dataset/checkname
+    # (preemption recovery), or an explicit checkpoint dir — the reference's
+    # search --resume (search.py:104-116) restores epoch/weights/optimizer
+    resume: Optional[str] = None
 
 
 class SearchTrainer:
@@ -117,11 +121,47 @@ class SearchTrainer:
 
         self._predict = predict
 
+        self.start_epoch = 0
+        if config.resume:
+            self._resume(config.resume)
+
         self.saver = Saver(config.run_dir, config.dataset, config.checkname)
         self.saver.save_experiment_config(dataclasses.asdict(config))
         self.summary = TrainingSummary(self.saver.experiment_dir)
 
     # ---------------------------------------------------------------- train
+
+    def _resume(self, resume: str):
+        """Restore params/BN-stats/arch/optimizers/epoch from a committed
+        checkpoint — the reference's search --resume (search.py:104-116);
+        'auto' discovers the newest one (preemption recovery)."""
+        path = resume
+        if resume == "auto":
+            path = find_latest_checkpoint(
+                self.config.run_dir, self.config.dataset, self.config.checkname
+            )
+            if path is None:
+                return  # cold start: nothing committed yet
+        target = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "arch": self.arch,
+            "w_opt": self.w_opt,
+            "a_opt": self.a_opt,
+        }
+        try:
+            restored, meta = restore_checkpoint(path, target)
+        except Exception:
+            # pre-round-3 checkpoints carry no optimizer states
+            slim = {k: target[k] for k in ("params", "batch_stats", "arch")}
+            restored, meta = restore_checkpoint(path, slim)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        self.arch = restored["arch"]
+        self.w_opt = restored.get("w_opt", self.w_opt)
+        self.a_opt = restored.get("a_opt", self.a_opt)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_pred = float(meta.get("best_pred", 0.0))
 
     def training(self, epoch: int) -> float:
         self.loader_a.set_epoch(epoch)
@@ -204,6 +244,8 @@ class SearchTrainer:
                 "params": self.params,
                 "batch_stats": self.batch_stats,
                 "arch": self.arch,
+                "w_opt": self.w_opt,
+                "a_opt": self.a_opt,
             },
             is_best,
             epoch,
@@ -226,7 +268,7 @@ class SearchTrainer:
     def fit(self, epochs: Optional[int] = None) -> dict:
         epochs = epochs or self.config.epochs
         result = {}
-        for epoch in range(epochs):
+        for epoch in range(self.start_epoch, epochs):
             loss = self.training(epoch)
             # interval <= 0 disables validation (the reference's --no-val)
             if self.config.eval_interval > 0 and (

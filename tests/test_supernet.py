@@ -333,3 +333,40 @@ def test_scan_supernet_bilevel_grads():
     a2, _, _, aloss = as_(p2, bs2, arch, a_tx.init(arch), batch)
     assert np.isfinite(float(aloss))
     assert not np.allclose(np.asarray(arch["alphas"]), np.asarray(a2["alphas"]))
+
+
+def test_search_trainer_resume(tmp_path):
+    """resume='auto' restores params/arch/optimizers/epoch from the newest
+    committed checkpoint (reference search --resume, search.py:104-116)."""
+    def build(resume=None):
+        m = ModelNetSearch(19, AUTODEEPLAB_GENOTYPE, num_layers=6, F=2, B=5,
+                           C_index=(3,), remat=False)
+        la = DataLoader(SyntheticSegmentation(length=4, crop_size=(65, 65)),
+                        batch_size=2, num_workers=2)
+        lb = DataLoader(SyntheticSegmentation(length=4, crop_size=(65, 65), seed=3),
+                        batch_size=2, num_workers=2)
+        lv = DataLoader(SyntheticSegmentation(length=2, crop_size=(65, 65), seed=4),
+                        batch_size=2, shuffle=False, drop_last=False)
+        cfg = SearchConfig(epochs=2, alpha_epoch=0, eval_interval=1,
+                           run_dir=str(tmp_path), lr=0.01, resume=resume)
+        return SearchTrainer(m, la, lb, lv, cfg)
+
+    first = build()
+    first.training(0)
+    first.validation(0)  # commits the checkpoint (incl. optimizer states)
+
+    resumed = build(resume="auto")
+    assert resumed.start_epoch == 1
+    np.testing.assert_array_equal(
+        np.asarray(resumed.arch["betas"]), np.asarray(first.arch["betas"])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.params),
+                    jax.tree_util.tree_leaves(first.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state (SGD momentum buffers) restored, not re-initialized
+    la_, lb_ = jax.tree_util.tree_leaves(resumed.w_opt), jax.tree_util.tree_leaves(first.w_opt)
+    assert len(la_) == len(lb_)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in la_ if hasattr(x, "shape"))
+    # a cold build without resume starts from epoch 0 with fresh arch
+    cold = build()
+    assert cold.start_epoch == 0
