@@ -58,10 +58,16 @@ if "--smoke" in sys.argv[1:]:
 
 # Persistent compile cache: the fused dynamic program takes minutes to
 # compile on a remote-relay TPU; cache it across processes.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/add_tpu_jax_cache"),
-)
+if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+    _cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+elif "--smoke" in sys.argv[1:]:
+    # smoke runs on CPU: host-feature-specific executables get their own dir
+    from auto_dynamic_deeplab_tpu.utils.initialize import machine_scoped_cache_dir
+
+    _cache_dir = machine_scoped_cache_dir()
+else:
+    _cache_dir = "/tmp/add_tpu_jax_cache"
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp

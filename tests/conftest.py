@@ -23,8 +23,16 @@ if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compilation cache: the model tests compile large graphs; reruns
-# drop from ~27 min to a few minutes.
-jax.config.update("jax_compilation_cache_dir", "/tmp/add_tpu_jax_cache")
+# drop from ~27 min to a few minutes. CPU runs use a machine-scoped dir —
+# CPU AOT executables are host-feature-specific (stale cross-host entries
+# risk SIGILL) and sharing one dir with a concurrent TPU bench process
+# segfaulted a cache write (round 3).
+from auto_dynamic_deeplab_tpu.utils.initialize import machine_scoped_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/tmp/add_tpu_jax_cache" if _ON_TPU else machine_scoped_cache_dir(),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402

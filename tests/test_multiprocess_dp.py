@@ -23,7 +23,8 @@ os.environ.pop("JAX_PLATFORMS", None)
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
-jax.config.update("jax_compilation_cache_dir", "/tmp/add_tpu_jax_cache")
+from auto_dynamic_deeplab_tpu.utils.initialize import machine_scoped_cache_dir
+jax.config.update("jax_compilation_cache_dir", machine_scoped_cache_dir())
 import jax.numpy as jnp
 import numpy as np
 
