@@ -23,6 +23,9 @@ def build_parser():
                    choices=["supernet", "net_supernet", "baseline_path"])
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--alpha-epoch", type=int, default=150)
+    # argparse defaults mirror the reference's argparse (search.py:360-362);
+    # the PUBLISHED recipe (lr 0.05 / wd 8e-4 / arch-lr 1e-3) is what
+    # scripts/search_cityscapes.sh passes and what SearchConfig defaults to.
     p.add_argument("--lr", type=float, default=0.025)
     p.add_argument("--min-lr", type=float, default=0.003)
     p.add_argument("--arch-lr", type=float, default=3e-3)

@@ -89,6 +89,13 @@ class TrellisSupernet(nn.Module):
         return tuple(out)
 
     def setup(self):
+        bad = [s for s in self.exit_layers_cfg if not 0 <= s < self.num_layers]
+        if bad:
+            raise ValueError(
+                f"exit station(s) {bad} outside the {self.num_layers}-layer "
+                "trellis — pass --exit-layers < num_layers (the default "
+                "station 5 assumes the reference's 12-layer config)"
+            )
         F, B, L = self.F, self.B, self.num_layers
         FB = F * B
         half = FB // 2

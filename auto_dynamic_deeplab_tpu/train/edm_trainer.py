@@ -87,6 +87,8 @@ def train_edm(
     params = variables["params"]
     n = features.shape[0]
     assert n > 0, "empty EDM dataset"
+    if epochs <= 0:
+        return edm, {"params": params}, float("nan")
     batch_size = min(batch_size, n)  # small datasets must still train
     rng = np.random.RandomState(seed)
     idx = np.stack(
@@ -101,29 +103,57 @@ def train_edm(
         ]
     )  # (epochs, batches_per_epoch, batch_size)
 
-    @jax.jit
-    def run(params, feats, ents, idx):
-        opt_state = tx.init(params)
+    def step_math(params, opt_state, f, e):
+        def loss_fn(p):
+            pred = edm.apply({"params": p}, f)[:, 0]
+            return jnp.mean(jnp.abs(pred - e))  # L1 (train_edm.py:108)
 
-        def one_step(carry, ib):
-            params, opt_state = carry
-            f, e = feats[ib], ents[ib]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
 
-            def loss_fn(p):
-                pred = edm.apply({"params": p}, f)[:, 0]
-                return jnp.mean(jnp.abs(pred - e))  # L1 (train_edm.py:108)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
-
-        (params, _), losses = jax.lax.scan(
-            one_step, (params, opt_state), idx.reshape(-1, idx.shape[-1])
-        )
-        return params, losses
-
-    params, losses = run(
-        params, jnp.asarray(features), jnp.asarray(entropies), jnp.asarray(idx)
+    # The scan path keeps the ENTIRE feature corpus device-resident. On real
+    # Cityscapes stage-3 (~3k full-size f32 features, several MB each) that
+    # alone can exceed a v5e's 16 GB HBM — guard by byte budget and fall back
+    # to a per-batch jitted step loop that uploads one batch at a time
+    # (dispatched asynchronously; losses read back once at the end).
+    budget = int(
+        os.environ.get("ADD_EDM_SCAN_BYTE_BUDGET", str(2 * 1024**3))
     )
-    last = float(np.asarray(losses).reshape(epochs, -1)[-1].mean())
+    if features.nbytes + entropies.nbytes <= budget:
+
+        @jax.jit
+        def run(params, feats, ents, idx):
+            opt_state = tx.init(params)
+
+            def one_step(carry, ib):
+                params, opt_state = carry
+                params, opt_state, loss = step_math(
+                    params, opt_state, feats[ib], ents[ib]
+                )
+                return (params, opt_state), loss
+
+            (params, _), losses = jax.lax.scan(
+                one_step, (params, opt_state), idx.reshape(-1, idx.shape[-1])
+            )
+            return params, losses
+
+        params, losses = run(
+            params, jnp.asarray(features), jnp.asarray(entropies), jnp.asarray(idx)
+        )
+        last = float(np.asarray(losses).reshape(epochs, -1)[-1].mean())
+        return edm, {"params": params}, last
+
+    step = jax.jit(step_math)
+    opt_state = tx.init(params)
+    last_epoch_losses = []
+    for ep in range(epochs):
+        ep_losses = []
+        for ib in idx[ep]:
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(features[ib]), jnp.asarray(entropies[ib])
+            )
+            ep_losses.append(loss)  # device array: no per-step readback
+        last_epoch_losses = ep_losses
+    last = float(np.mean([float(l) for l in last_epoch_losses]))
     return edm, {"params": params}, last

@@ -27,14 +27,20 @@ from .schedules import lr_schedule
 
 @dataclasses.dataclass
 class SearchConfig:
+    """Defaults are the PUBLISHED recipe (scripts/search_cityscapes.sh in the
+    reference: lr 0.05 / min 0.003 cos, weight-decay 8e-4, arch-lr 1e-3) —
+    NOT the reference's argparse defaults (search.py:360-362: lr 0.025,
+    wd 3e-4, arch-lr 3e-3), which its shipped scripts always override. The
+    CLI (cli/search.py) keeps argparse-default parity; constructing a
+    SearchConfig directly gets the recipe that was actually published."""
     epochs: int = 300
     alpha_epoch: int = 150        # arch updates start here (search.py:203)
-    lr: float = 0.025
+    lr: float = 0.05
     min_lr: float = 0.003
     lr_scheduler: str = "cos"
     momentum: float = 0.9
-    weight_decay: float = 3e-4
-    arch_lr: float = 3e-3
+    weight_decay: float = 8e-4
+    arch_lr: float = 1e-3
     arch_weight_decay: float = 1e-3
     eval_interval: int = 5
     # per-exit CE reduction: 'mean' (search.py:190-194) or 'sum'
@@ -151,8 +157,20 @@ class SearchTrainer:
         }
         try:
             restored, meta = restore_checkpoint(path, target)
-        except Exception:
-            # pre-round-3 checkpoints carry no optimizer states
+        except Exception as exc:
+            # pre-round-3 checkpoints carry no optimizer states; warn loudly —
+            # this path also swallows genuine restore failures, and resuming
+            # with fresh optimizers silently loses momentum + restarts the LR
+            # schedule, so the operator must be able to see it happened.
+            import warnings
+
+            warnings.warn(
+                f"full search-checkpoint restore from {path} failed "
+                f"({type(exc).__name__}: {exc}); retrying without optimizer "
+                "states — if this succeeds, momentum and Adam moments resume "
+                "FRESH (expected only for pre-round-3 checkpoints)",
+                stacklevel=2,
+            )
             slim = {k: target[k] for k in ("params", "batch_stats", "arch")}
             restored, meta = restore_checkpoint(path, slim)
         self.params = restored["params"]

@@ -73,8 +73,16 @@ step = make_train_step(model, tx, mesh)
 # children's compile times can skew past it. With the barrier, both sides
 # enter the first collective microseconds apart regardless of compile skew.
 compiled = step.lower(state, batch).compile()
-from jax._src import distributed as _dist
-_dist.global_state.client.wait_at_barrier("mp_dp_compiled", timeout_in_ms=1200000)
+try:
+    # coordination-service barrier (gRPC): zero device collectives involved
+    from jax._src import distributed as _dist  # private: may move across jax versions
+    _dist.global_state.client.wait_at_barrier("mp_dp_compiled", timeout_in_ms=1200000)
+except (ImportError, AttributeError):
+    # Public fallback: sync_global_devices IS a device collective, so it
+    # spends part of Gloo's ~30 s context-init window on compile skew —
+    # acceptable here because both children are already compiled (AOT above).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("mp_dp_compiled")
 losses = []
 for _ in range(2):
     state, metrics = compiled(state, batch)

@@ -66,3 +66,37 @@ def test_device_time_and_flops():
     t = device_time(f, a, a, iters=3, warmup=1)
     assert t > 0
     assert flops_of(lambda a, b: a @ b, a, a) >= 2 * 64 ** 3 * 0.9
+
+
+def test_search_recipe_alignment():
+    """SearchConfig defaults == the PUBLISHED recipe, and the shipped shell
+    script passes exactly those values (reference scripts/search_cityscapes.sh:
+    lr 0.05 / min-lr 0.003 / arch-lr 1e-3 / wd 8e-4 / arch-wd 1e-3)."""
+    import os
+
+    from auto_dynamic_deeplab_tpu.train.search_trainer import SearchConfig
+
+    cfg = SearchConfig()
+    recipe = {
+        "--lr": cfg.lr,
+        "--min-lr": cfg.min_lr,
+        "--arch-lr": cfg.arch_lr,
+        "--weight-decay": cfg.weight_decay,
+        "--arch-weight-decay": cfg.arch_weight_decay,
+    }
+    assert recipe == {
+        "--lr": 0.05,
+        "--min-lr": 0.003,
+        "--arch-lr": 1e-3,
+        "--weight-decay": 8e-4,
+        "--arch-weight-decay": 1e-3,
+    }
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "search_cityscapes.sh",
+    )
+    with open(script) as f:
+        toks = f.read().replace("\\\n", " ").split()
+    passed = {t: float(toks[i + 1]) for i, t in enumerate(toks) if t in recipe}
+    assert passed == recipe, (passed, recipe)
