@@ -267,7 +267,18 @@ class DynamicInferenceEngine:
         smallest padded bucket (static shapes) before later segments run.
 
         Returns (logits (N, C, H, W) fp32, exit_index (N,) int).
-        """
+
+        A/B VERDICT (r4, v5e, 1025x2049): at full eval resolution this path
+        LOSES to the serial batch-1 segment loop on device time — b4 with a
+        2/4 exit mix measured 65.3 ms/batch = 16.3 ms/img vs ~11.1 ms/img
+        serial at the same mix. A single full-res image already saturates
+        the chip (batching amortizes nothing), so the bucketed path can at
+        best match the serial device time and pays extra for the carry-state
+        compaction gather; its per-exit confidence batch ALSO re-launches
+        the stems per image. It remains the right shape when per-launch
+        overhead dominates (small images, dispatch-bound serving) and is
+        what bench.py reports honestly via `serial_batch1_ms_at_same_mix` /
+        `pays_off`."""
         n = x.shape[0]
         size = tuple(x.shape[1:3])
         if bucket_sizes is None:

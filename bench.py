@@ -1,15 +1,29 @@
 """Benchmark on the attached TPU chip: flagship ADD (C=2, F=20, B=5) at the
 Cityscapes eval resolution (1025x2049, batch 1, bf16 compute).
 
-Headline: dynamic early-exit inference throughput (exit at the first exit —
-the fast path early exit buys). The extra fields bench the PRODUCT surface
-(reference: eval.py:195-230):
+Headline: dynamic early-exit inference (exit at the first station — the fast
+path early exit buys), measured as p50 single-image device latency (the
+reference's metric surface is a per-image synchronized loop, eval.py:195-230;
+pipelined back-to-back throughput is reported alongside, not as the headline).
+
+COLD-CACHE DISCIPLINE (round-4 redesign): two consecutive driver runs
+recorded nothing (r2 rc=124, r3 rc=18) because the first measurement sat
+behind the single largest cold compile in the repo — the fused lax.cond
+dynamic program. The headline is now measured FIRST from the engine's
+*segment programs* (decide_0 / final — small compiles, same device math as
+the fused program modulo one state materialization at the cut), printed the
+moment it exists, and only then upgraded to the fused-cond number via a
+background AOT compile that is simply abandoned if the budget runs out.
+Every later phase is budget-gated, and the deadline watchdog prints the
+best-so-far JSON (never exits empty once the headline landed).
+
+The extra fields bench the PRODUCT surface (reference: eval.py:195-230):
   * EDM-gated dynamic inference with real EDM weights from a synthetic
-    stage-3 (make_edm_dataset + train_edm), early-exit and full-depth;
-  * an entropy-threshold sweep reporting exit-rate vs expected latency
-    (exit rates measured by running the fused program per image; expected
-    latency = rate-weighted mix of the measured per-exit device times);
-  * trace-based training throughput at 769x769 bf16 (the stage-2 config).
+    stage-3 (make_edm_dataset + train_edm) — segment programs, labeled
+    synthetic (signal quality not evaluated);
+  * an entropy-threshold sweep reporting exit-rate vs expected latency;
+  * trace-based training throughput at 769x769 bf16 (the stage-2 config);
+  * bucketed batched dynamic inference (serving path).
 
 Timing is DEVICE time from jax.profiler traces, validated against matmul
 physics (a 4096^3 bf16 matmul measures 0.76 ms = 182 TF/s on v5e, 92% of
@@ -18,14 +32,16 @@ peak). Host wall clocks are untrustworthy here: dispatch is asynchronous
 de-duplicates identical in-flight executions, so wall-based "latencies"
 can read 50x better than physics allows.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is NOT a
-reference comparison: it is the full-depth/early-exit device-time ratio
-(the speedup early exit buys) — see "vs_baseline_meaning".
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}; the
+LAST JSON line printed is the record. The reference publishes no numbers
+(BASELINE.md), so vs_baseline is NOT a reference comparison: it is the
+full-depth/early-exit device-time ratio (the speedup early exit buys) —
+see "vs_baseline_meaning".
 """
 import json
 import os
 import sys
+import threading
 import time
 
 _T0 = time.monotonic()
@@ -33,7 +49,14 @@ _T0 = time.monotonic()
 # kill mid-run records nothing (round 2: rc=124, no JSON). Phases beyond the
 # headline are skipped when the remaining budget can't fit their compiles,
 # and a watchdog prints the best-so-far JSON and exits 0 at the deadline.
-_DEADLINE_S = float(os.environ.get("ADD_BENCH_DEADLINE_S", "540"))
+_DEADLINE_S = float(
+    os.environ.get(
+        "ADD_BENCH_DEADLINE_S",
+        # smoke validates the CODE PATH on a (possibly contended) CPU host —
+        # compile time there says nothing about the driver's TPU budget
+        "3600" if "--smoke" in sys.argv[1:] else "540",
+    )
+)
 
 
 def _remaining() -> float:
@@ -79,7 +102,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scr
 def _train_synthetic_edm(model, variables, rng, size):
     """Real stage-3 EDM weights from a synthetic dataset: features/entropies
     from the frozen backbone's first-exit program on synthetic images
-    (train_edm.py:146-185 pipeline, smaller corpus)."""
+    (train_edm.py:146-185 pipeline, smaller corpus). SIGNAL QUALITY IS NOT
+    EVALUATED — random-init backbone, noise images; this exercises the
+    product code path, not the confidence policy."""
     from auto_dynamic_deeplab_tpu.train.edm_trainer import (
         make_edm_dataset,
         train_edm,
@@ -119,8 +144,6 @@ def _backend_watchdog(seconds: float = 240.0):
     """Fail fast instead of hanging forever when the TPU relay is down:
     backend init (jax.devices) can block indefinitely on a dead relay.
     Returns a cancel() to call once the backend is up."""
-    import threading
-
     done = threading.Event()
 
     def fire():
@@ -137,10 +160,11 @@ def _backend_watchdog(seconds: float = 240.0):
 
 
 def _deadline_watchdog(result_holder: dict):
-    """At the deadline, print the best-so-far result (if the headline was
-    measured) and exit 0 — a driver-side kill records nothing at all."""
-    import threading
-
+    """At the deadline, print the best-so-far result and exit 0 — a
+    driver-side kill records nothing at all. Once ANY headline (even the
+    partial early-only record) is in the holder, the watchdog can never
+    exit empty; before that it still emits a labeled phase-progress JSON
+    (a record with value null beats two rounds of silence)."""
     done = threading.Event()
 
     def fire():
@@ -154,14 +178,30 @@ def _deadline_watchdog(result_holder: dict):
                 )
                 print(json.dumps(result_holder["result"]), flush=True)
                 os._exit(0)
-            sys.stderr.write(
-                f"bench: deadline {_DEADLINE_S:.0f}s hit before the headline "
-                "metric was measured — aborting\n"
+            print(
+                json.dumps(
+                    {
+                        "metric": "add_c2_dynamic_earlyexit_1025x2049_b1",
+                        "value": None,
+                        "unit": "images/sec/chip",
+                        "vs_baseline": None,
+                        "error": (
+                            f"deadline {_DEADLINE_S:.0f}s hit during phase "
+                            f"'{result_holder.get('phase', '?')}' before the "
+                            "headline was measured"
+                        ),
+                    }
+                ),
+                flush=True,
             )
             os._exit(18)
 
     threading.Thread(target=fire, daemon=True).start()
     return done.set
+
+
+def _p50(traces_s):
+    return sorted(traces_s)[len(traces_s) // 2]
 
 
 def main(smoke: bool = False):
@@ -171,8 +211,30 @@ def main(smoke: bool = False):
     jax.devices()  # backend init; hangs here if the relay is dead
     cancel()
     _mark('backend up')
-    holder: dict = {}
+    holder: dict = {"phase": "init"}
     cancel_deadline = _deadline_watchdog(holder)
+
+    # Open the profiler session NOW, in the background: the FIRST
+    # start/stop_trace cycle on a relay costs a flat session-setup tax
+    # (measured 60-300 s depending on the tunnel, INDEPENDENT of the traced
+    # program — a 2-line matmul trace pays the same). Overlap it with init
+    # and the segment compiles; every later trace costs ~0.5 s.
+    prof_ready = threading.Event()
+
+    def _warm_profiler():
+        try:
+            from trace_measure import trace_and_sum as _ts
+
+            f = jax.jit(lambda a: (a @ a).sum())
+            a = jnp.ones((256, 256), jnp.bfloat16)
+            jax.block_until_ready(f(a))
+            _ts(f, a, runs=1)
+        except Exception as exc:  # noqa: BLE001
+            sys.stderr.write(f"bench: profiler warmup failed: {exc}\n")
+        prof_ready.set()
+        _mark('profiler session open')
+
+    threading.Thread(target=_warm_profiler, daemon=True).start()
 
     from auto_dynamic_deeplab_tpu.models import ADD
     from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
@@ -194,6 +256,7 @@ def main(smoke: bool = False):
     train_bs = 2 if smoke else 8
     runs = 1 if smoke else 8
     runs_slow = 1 if smoke else 4  # EDM programs + train step (pre-smoke counts)
+    n_singles = 1 if smoke else 5  # independent single-run traces for p50
     model = ADD(
         cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
         F=F, B=5, low_level_layer=cfg["low_level_layer"], dtype=jnp.bfloat16,
@@ -211,17 +274,7 @@ def main(smoke: bool = False):
         for _ in range(4)
     ]
     x = xs[0]
-
-    # ---- entropy-gated fused program: per-exit device times ---------------
-    _mark('model init done')
-    engine = DynamicInferenceEngine(model, variables)
-    program = engine.fused_program(eval_hw, confidence="entropy")
-
-    def early(x):  # permissive threshold → exit at the first station
-        return program(x, jnp.float32(2.0))
-
-    def full(x):  # impossible threshold → full depth
-        return program(x, jnp.float32(-1.0))
+    size = eval_hw
 
     # On CPU (smoke) profiler traces carry no device events → 0 ms; clamp so
     # smoke mode still exercises every downstream formula without dividing
@@ -233,89 +286,247 @@ def main(smoke: bool = False):
             raise RuntimeError("empty device trace: refusing to report 0 ms")
         return max(r["total_ms"], 1e-6) / 1000.0
 
-    _mark('fused program built; tracing early')
-    t_early = _t(trace_and_sum(early, x, runs=runs))
-    _mark('early traced')
-    t_full = _t(trace_and_sum(full, x, runs=runs))
-    _mark('full traced')
+    # ---- HEADLINE via segment programs (smallest possible cold compiles) --
+    # decide_k = [stem +] cells[..e_k] + entropy + exit head  (one launch)
+    # final    = cells[e_{K-2}+1..end] + final head           (one launch)
+    # Early exit runs decide_0 alone; full depth chains every segment. Device
+    # math equals the fused-cond program's modulo materializing the carry
+    # state at each cut (the fused upgrade below removes that too).
+    #
+    # All compiles run CONCURRENTLY on daemon threads (XLA compiles on the
+    # relay server; local lowering is cheap) in priority order: decide_0
+    # first (it alone yields a headline), then the later segments, then the
+    # fused-cond program (the >500 s giant that sank rounds 2/3 — strictly
+    # an upgrade now, abandoned at exit if the budget runs out).
+    _mark('model init done')
+    holder["phase"] = "segment compile (decide_0)"
+    engine = DynamicInferenceEngine(model, variables)
+    exits = engine.exits
+    decides = [
+        engine._decide(k, size, "entropy", 0.0) for k in range(len(exits) - 1)
+    ]
+    fin = engine._final(size)
+
+    box: dict = {}
+    events = {name: threading.Event() for name in ("d0", "rest", "fused")}
+
+    def compile_async(name, fn):
+        def run():
+            try:
+                box[name] = fn()
+            except Exception as exc:  # noqa: BLE001 — record, don't crash
+                box[name + "_error"] = str(exc)[:300]
+            box.setdefault(name + "_done_s", round(time.monotonic() - _T0, 1))
+            events[name].set()
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def _compile_d0():
+        return decides[0].raw.lower(variables, None, x).compile()
+
+    def _compile_rest():
+        # later decide segments + final, lowered from eval_shape carries
+        carry = jax.eval_shape(decides[0].raw, variables, None, x)[0]
+        progs = []
+        for k in range(1, len(exits) - 1):
+            c = decides[k].raw.lower(variables, None, carry).compile()
+            progs.append(c)
+            carry = jax.eval_shape(decides[k].raw, variables, None, carry)[0]
+        return progs + [fin.raw.lower(variables, None, carry).compile()]
+
+    def _compile_fused():
+        prog = engine.fused_program(size, confidence="entropy")
+        return prog.raw.lower(variables, None, x, jnp.float32(2.0)).compile()
+
+    compile_async("d0", _compile_d0)
+    compile_async("rest", _compile_rest)
+    # NOTE: the fused compile is NOT started here — its Python tracing holds
+    # the GIL for minutes and starved the headline traces in a cold A/B
+    # (early p50 singles took 356 s alongside it vs 8 s without). It starts
+    # right after the full-depth p50 lands.
+
+    events["d0"].wait()
+    if "d0" not in box:
+        raise RuntimeError(f"decide_0 compile failed: {box.get('d0_error')}")
+    _mark('decide_0 compiled (%.0fs)' % box["d0_done_s"])
+
+    def early_seg(x):
+        return box["d0"](variables, None, x)
+
+    def full_seg(x):
+        carry = early_seg(x)[0]
+        for prog in box["rest"]:
+            out = prog(variables, None, carry)
+            carry = out[0] if isinstance(out, tuple) else out
+        return carry
+
+    # ---- provisional headline: chained-wall UPPER BOUND, no profiler ------
+    # The profiler session may still be opening (a flat 60-440 s relay tax;
+    # device work issued while it opens can stall) — a labeled provisional
+    # number makes the record deadline-proof. Wall clocks on this relay are
+    # only honest when every execution is FORCED (unconsumed results are
+    # elided: unchained k-deep pipelines measured 1.3 ms/img, below device
+    # physics) and then carry ~7-20 ms/launch of proxy overhead — so the
+    # chained marginal is an UPPER BOUND on latency, i.e. a conservative
+    # LOWER bound on images/sec. Sanity-gated: a session-open stall mid-
+    # measurement yields nonsense, which is detected and discarded.
+    scale = jax.jit(lambda x, a: x * (1.0 + a * 1e-6))
+
+    def wall_chained_bound(fn, k0=4, k1=12):
+        def run(k):
+            acc = jnp.float32(0.0)
+            for i in range(k):
+                out = fn(scale(x, acc * 1e-9 + np.float32(i)))
+                leaf = jax.tree.leaves(out)[0]
+                acc = leaf.reshape(-1)[0].astype(jnp.float32)
+            return float(acc)  # one sync; every call is a data dependency
+
+        run(2)
+        t0 = time.monotonic()
+        run(k0)
+        t1 = time.monotonic()
+        run(k1)
+        t2 = time.monotonic()
+        return ((t2 - t1) - (t1 - t0)) / (k1 - k0)
 
     result = {
         "metric": (
             "SMOKE_add_c2_dynamic_earlyexit" if smoke
             else "add_c2_dynamic_earlyexit_1025x2049_b1"
         ),
-        "value": round(1.0 / t_early, 4),
+        "value": None,
         "unit": "images/sec/chip",
-        "vs_baseline": round(t_full / t_early, 4),
+        "vs_baseline": 1.0,
         "vs_baseline_meaning": "full-depth/early-exit device-time ratio (NOT a reference comparison; the reference publishes no numbers — BASELINE.md)",
-        "early_exit_latency_ms": round(t_early * 1000, 2),
-        "full_depth_latency_ms": round(t_full * 1000, 2),
         "device": str(jax.devices()[0]),
-        "note": "device-time via jax.profiler trace (host wall clocks lie on relays); single-program lax.cond dynamic inference",
+        "method": "segment programs (decide_0/final)",
     }
-    # Headline measured: print immediately (insurance against a driver-side
-    # kill mid-extras — the LAST JSON line printed wins) and arm the watchdog
-    # fallback. Each further phase runs only if its compile budget fits.
+    t_early_bound = wall_chained_bound(early_seg)
+    if 3e-3 < t_early_bound < 0.08:
+        _mark('provisional chained-wall bound %.2f ms' % (t_early_bound * 1e3))
+        result["value"] = round(1.0 / t_early_bound, 4)
+        result["note"] = (
+            "PROVISIONAL LOWER BOUND: chained-wall marginal includes "
+            "~7-20 ms/launch relay proxy overhead; upgraded to trace-based "
+            "p50 below if the profiler session opens in budget"
+        )
+        holder["result"] = result
+        print(json.dumps(result), flush=True)
+    else:
+        _mark('chained-wall bound insane (%.2f ms), discarded'
+              % (t_early_bound * 1e3))
+    holder["phase"] = "profiler session wait"
+
+    # ---- trace-based headline (p50 of independent single-image traces) ----
+    prof_ready.wait(timeout=600.0 if smoke else max(0.0, _remaining() - 60.0))
+    if not prof_ready.is_set():
+        result["note"] = (
+            result.get("note", "")
+            + " [profiler session never opened within budget]"
+        )
+        holder["result"] = result
+        print(json.dumps(result), flush=True)
+        sys.stdout.flush()
+        os._exit(0 if result["value"] else 19)
+    early_singles = [
+        _t(trace_and_sum(early_seg, x, runs=1)) for _ in range(n_singles)
+    ]
+    t_early = _p50(early_singles)
+    _mark('early segment traced (p50 %.2f ms)' % (t_early * 1e3))
+    result.update(
+        {
+            "value": round(1.0 / t_early, 4),
+            "p50_early_exit_latency_ms": round(t_early * 1000, 2),
+            "chained_wall_bound_ms": round(t_early_bound * 1000, 2),
+            "note": (
+                "p50 of independent single-image traces (the reference's "
+                "metric is a synchronized per-image loop); device-time via "
+                "jax.profiler (host wall clocks lie on relays). PARTIAL: "
+                "full-depth pending"
+            ),
+        }
+    )
     holder["result"] = result
+    holder["phase"] = "segment compile (final)"
     print(json.dumps(result), flush=True)
 
-    # ---- p50 latency (BASELINE.md: "images/sec/chip and p50 latency") -----
-    if not smoke and _remaining() > 90:
-        # Median across independent single-run traces (host wall percentiles
-        # are meaningless through the relay's noisy RTT).
-        _mark('p50 singles')
-        singles = sorted(
-            _t(trace_and_sum(early, x, runs=1)) for _ in range(5)
+    events["rest"].wait()
+    if "rest" not in box:
+        raise RuntimeError(f"segment compile failed: {box.get('rest_error')}")
+    _mark('later segments compiled (%.0fs)' % box["rest_done_s"])
+    full_singles = [
+        _t(trace_and_sum(full_seg, x, runs=1)) for _ in range(n_singles)
+    ]
+    t_full = _p50(full_singles)
+    _mark('full segment traced (p50 %.2f ms)' % (t_full * 1e3))
+    result["p50_full_depth_latency_ms"] = round(t_full * 1000, 2)
+    result["vs_baseline"] = round(t_full / t_early, 4)
+    result["note"] = result["note"].replace(" PARTIAL: full-depth pending", "")
+    print(json.dumps(result), flush=True)
+    compile_async("fused", _compile_fused)  # see NOTE above
+
+    # ---- pipelined throughput (back-to-back runs amortize dispatch) -------
+    holder["phase"] = "pipelined throughput"
+    if smoke or _remaining() > 60:
+        t_early_pipe = _t(trace_and_sum(early_seg, x, runs=runs))
+        t_full_pipe = _t(trace_and_sum(full_seg, x, runs=runs))
+        result["pipelined_early_exit_ms"] = round(t_early_pipe * 1000, 2)
+        result["pipelined_full_depth_ms"] = round(t_full_pipe * 1000, 2)
+        result["pipelined_images_per_sec_per_chip"] = round(
+            1.0 / t_early_pipe, 2
         )
-        # Higher than the 8-run mean: an isolated execution carries
-        # per-dispatch overhead that pipelined back-to-back runs amortize.
-        result["p50_early_exit_latency_ms"] = round(singles[2] * 1000, 2)
+        _mark('pipelined traced')
         print(json.dumps(result), flush=True)
 
-    # ---- all-exits forward + FLOPs/params (eval.py:233-238 surface) -------
-    if smoke or _remaining() > 90:
-        # Weights as jit ARGUMENTS (not closed-over constants): remote-relay
-        # runtimes re-upload embedded constants every execution (~46 MB).
-        _mark('all-exits fwd')
-        fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
-        t_fwd = _t(trace_and_sum(fwd, variables, x, runs=runs))
-        result["all_exits_forward_ms"] = round(t_fwd * 1000, 2)
-        try:
-            from auto_dynamic_deeplab_tpu.utils.flops import count_params
+    # ---- FLOPs/params (eval.py:233-238 surface) ---------------------------
+    # cost_analysis on the LOWERED module first (no backend compile); the
+    # axon backend reports flops only post-compile, so fall back to summing
+    # the already-compiled segment programs (early + full cover every cell
+    # and head except the early head's second evaluation — same surface).
+    holder["phase"] = "flops/params"
+    try:
+        from auto_dynamic_deeplab_tpu.utils.flops import count_params
 
-            analysis = fwd.lower(variables, x).compile().cost_analysis()
-            if isinstance(analysis, list):
-                analysis = analysis[0]
-            result["complexity"] = {
-                "params": count_params(variables["params"]),
-                "all_exits_forward_gflops": round(
-                    float((analysis or {}).get("flops", -1e9)) / 1e9, 2
-                ),
-            }
-        except Exception as exc:  # cost analysis is backend-dependent
-            result["complexity"] = {"error": str(exc)[:120]}
+        fwd = jax.jit(lambda v, x: tuple(model.apply(v, x, train=False)))
+        analysis = fwd.lower(variables, x).cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        gflops = float((analysis or {}).get("flops", -1e9)) / 1e9
+        src = "all-exits forward (lowered cost analysis)"
+        if gflops <= 0:
+            total = 0.0
+            for prog in [box["d0"], *box["rest"]]:
+                a = prog.cost_analysis()
+                if isinstance(a, list):
+                    a = a[0]
+                total += float((a or {}).get("flops", 0.0))
+            gflops = total / 1e9
+            src = "dynamic path, full depth (compiled segment programs)"
+        result["complexity"] = {
+            "params": count_params(variables["params"]),
+            "gflops": round(gflops, 2),
+            "gflops_surface": src,
+        }
+        print(json.dumps(result), flush=True)
+    except Exception as exc:  # cost analysis is backend-dependent
+        result["complexity"] = {"error": str(exc)[:120]}
 
     # ---- entropy threshold sweep: exit rate vs expected latency -----------
-    # Exit decisions per image per threshold from the fused program (cheap,
-    # no tracing); expected latency mixes the measured per-exit times.
-    if smoke or _remaining() > 45:
+    # Exit-at-first-station decisions need only the per-image entropies from
+    # decide_0 (already compiled) — no fused program, no extra compiles.
+    holder["phase"] = "threshold sweep"
+    if smoke or _remaining() > 30:
         _mark('sweep')
         # Dispatch everything asynchronously, block once: a per-call
         # readback costs a full relay round trip (50-500 ms each).
-        conf_pend = [program(xi, jnp.float32(-1.0))[2] for xi in xs]
+        conf_pend = [early_seg(xi)[1] for xi in xs]
         jax.block_until_ready(conf_pend)
-        ents = [float(np.asarray(c)) for c in conf_pend]
+        ents = [float(np.asarray(c)[0]) for c in conf_pend]
         qs = np.quantile(ents, [0.25, 0.5, 0.75])
         sweep = []
         thresholds = sorted({0.0, *[round(float(q), 4) for q in qs], 1.0})
-        exit_pend = {
-            thr: [program(xi, jnp.float32(thr))[1] for xi in xs]
-            for thr in thresholds
-        }
-        jax.block_until_ready(exit_pend)
         for thr in thresholds:
-            exits = [int(np.asarray(e)) for e in exit_pend[thr]]
-            rate = float(np.mean([e == 0 for e in exits]))
+            rate = float(np.mean([e < thr for e in ents]))
             sweep.append(
                 {
                     "threshold": thr,
@@ -333,6 +544,7 @@ def main(smoke: bool = False):
     # 08-19, profile_train_step.py) and remat costs 19-23% step time here
     # (bs8: 164.2 -> 133.2 ms). Remat remains available (--remat) for
     # configs that need it (supernet search, larger crops/batches).
+    holder["phase"] = "train step"
     if smoke or _remaining() > 150:
         _mark('train phase')
         train_model = ADD(
@@ -370,6 +582,52 @@ def main(smoke: bool = False):
             "step_ms": round(t_train * 1000, 2),
             "images_per_sec_per_chip": round(bs / t_train, 2),
         }
+        _mark('train traced')
+        print(json.dumps(result), flush=True)
+
+    # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
+    # Segment programs again (decide_0 with the EDM confidence head): the
+    # EDM fused-cond program would be a second giant cold compile.
+    holder["phase"] = "edm"
+    if smoke or _remaining() > 120:
+        _mark('edm phase')
+        edm, edm_vars, edm_loss = _train_synthetic_edm(
+            model, variables, rng, edm_hw
+        )
+        edm_engine = DynamicInferenceEngine(
+            model, variables, edm=edm, edm_variables=edm_vars
+        )
+        d0e = edm_engine._decide(0, size, "edm", 0.0)
+        head0 = edm_engine._head(exits[0], size)
+        fin_e = edm_engine._final(size)
+
+        def edm_early(x):  # decide + exit head launch (ADD.py:421-432)
+            state, conf = d0e(x)
+            return head0(state), conf
+
+        def edm_full(x):
+            state, conf = d0e(x)
+            return fin_e(state), conf
+
+        t_edm_early = _t(trace_and_sum(edm_early, x, runs=runs_slow))
+        t_edm_full = _t(trace_and_sum(edm_full, x, runs=runs_slow))
+        conf_pend = [d0e(xi)[1] for xi in xs]
+        jax.block_until_ready(conf_pend)
+        confs = [float(np.asarray(c)[0]) for c in conf_pend]
+        thr_mix = float(np.median(confs))  # EDM exits when conf <= threshold
+        edm_rate = float(np.mean([c <= thr_mix for c in confs]))
+        result["edm_gated"] = {
+            "early_exit_latency_ms": round(t_edm_early * 1000, 2),
+            "full_depth_latency_ms": round(t_edm_full * 1000, 2),
+            "edm_train_l1_loss": round(edm_loss, 4),
+            "median_threshold": round(thr_mix, 4),
+            "exit_rate_at_median": edm_rate,
+            "note": (
+                "synthetic weights (random-init backbone, noise images): "
+                "code-path exercise; signal quality not evaluated"
+            ),
+        }
+        _mark('edm traced')
         print(json.dumps(result), flush=True)
 
     # ---- bucketed batched dynamic inference (serving throughput) ----------
@@ -378,12 +636,13 @@ def main(smoke: bool = False):
     # above; this is the batched path: per-exit confidences for the whole
     # batch, then only the continuing images re-launch, compacted to padded
     # buckets (train/dynamic.py infer_batch).
-    if smoke or _remaining() > 80:
+    holder["phase"] = "bucketed batch"
+    if smoke or _remaining() > 120:
         _mark('bucketed batch phase')
         xb = jnp.concatenate(xs, axis=0)  # (4, H, W, 3)
-        conf_pend = [program(xi, jnp.float32(2.0))[2] for xi in xs]
+        conf_pend = [early_seg(xi)[1] for xi in xs]
         jax.block_until_ready(conf_pend)
-        thr_b = float(np.median([float(np.asarray(c)) for c in conf_pend]))
+        thr_b = float(np.median([float(np.asarray(c)[0]) for c in conf_pend]))
 
         def bucketed(_):
             # bucket_sizes pinned to [2, 4]: the exit split jitters with bf16
@@ -395,65 +654,100 @@ def main(smoke: bool = False):
 
         _, exits_b = bucketed(0)  # warm + record the exit split
         t_bucket = _t(trace_and_sum(bucketed, 0, runs=runs_slow))
+        n_early = int(sum(int(e) == 0 for e in exits_b))
+        n_img = int(xb.shape[0])
+        # honest A/B: the serial fused/segment batch-1 loop at the SAME exit
+        # mix — batching must beat this to pay (VERDICT r3 weak #3)
+        serial_ms = (n_early * t_early + (n_img - n_early) * t_full) * 1000
         result["bucketed_dynamic_b4"] = {
-            "batch": int(xb.shape[0]),
+            "batch": n_img,
             "device_ms_per_batch": round(t_bucket * 1000, 2),
-            "images_per_sec_per_chip": round(xb.shape[0] / t_bucket, 2),
+            "images_per_sec_per_chip": round(n_img / t_bucket, 2),
             "threshold": round(thr_b, 4),
-            "early_exit_count": int(sum(int(e) == 0 for e in exits_b)),
+            "early_exit_count": n_early,
+            "serial_batch1_ms_at_same_mix": round(serial_ms, 2),
+            "pays_off": bool(t_bucket * 1000 < serial_ms),
         }
+        _mark('bucketed traced')
         print(json.dumps(result), flush=True)
 
-    # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
-    if smoke or _remaining() > 140:
-        _mark('edm phase')
-        edm, edm_vars, edm_loss = _train_synthetic_edm(
-            model, variables, rng, edm_hw
+    # ---- fused-cond upgrade (if the background compile made it) -----------
+    holder["phase"] = "fused upgrade"
+    wait_s = 600.0 if smoke else max(0.0, _remaining() - 90.0)
+    events["fused"].wait(timeout=wait_s)
+    if "fused" in box and (smoke or _remaining() > 60):
+        _mark('fused compiled in background (%.0fs); re-measuring'
+              % box.get("fused_done_s", -1.0))
+        compiled = box["fused"]
+
+        def fused_early(x):
+            return compiled(variables, None, x, jnp.float32(2.0))
+
+        def fused_full(x):
+            return compiled(variables, None, x, jnp.float32(-1.0))
+
+        tf_early = _p50(
+            [_t(trace_and_sum(fused_early, x, runs=1)) for _ in range(n_singles)]
         )
-        edm_engine = DynamicInferenceEngine(
-            model, variables, edm=edm, edm_variables=edm_vars
+        tf_full = _p50(
+            [_t(trace_and_sum(fused_full, x, runs=1)) for _ in range(n_singles)]
         )
-        edm_prog = edm_engine.fused_program(eval_hw, confidence="edm")
-        conf_pend = [edm_prog(xi, jnp.float32(-1e9))[2] for xi in xs]
-        jax.block_until_ready(conf_pend)
-        confs = [float(np.asarray(c)) for c in conf_pend]
-        thr_mix = float(np.median(confs))  # EDM exits when conf <= threshold
-        t_edm_early = _t(
-            trace_and_sum(
-                lambda x: edm_prog(x, jnp.float32(1e9)), x, runs=runs_slow
-            )
-        )
-        t_edm_full = _t(
-            trace_and_sum(
-                lambda x: edm_prog(x, jnp.float32(-1e9)), x, runs=runs_slow
-            )
-        )
-        rate_pend = [edm_prog(xi, jnp.float32(thr_mix))[1] for xi in xs]
-        jax.block_until_ready(rate_pend)
-        edm_rate = float(
-            np.mean([int(np.asarray(e)) == 0 for e in rate_pend])
-        )
-        result["edm_gated"] = {
-            "early_exit_latency_ms": round(t_edm_early * 1000, 2),
-            "full_depth_latency_ms": round(t_edm_full * 1000, 2),
-            "edm_train_l1_loss": round(edm_loss, 4),
-            "median_threshold": round(thr_mix, 4),
-            "exit_rate_at_median": edm_rate,
+        result["fused_cond"] = {
+            "p50_early_exit_latency_ms": round(tf_early * 1000, 2),
+            "p50_full_depth_latency_ms": round(tf_full * 1000, 2),
+            "note": (
+                "single-program lax.cond engine: zero host round trips per "
+                "exit decision (the segment pipeline pays one scalar "
+                "readback between segments, invisible in device time)"
+            ),
         }
+        # Upgrade the headline only if the fused program actually wins on
+        # device time. Measured r4: it does NOT (9.42 vs 6.86 ms p50) — the
+        # HLO Conditional boundary blocks fusions and forces extra copies;
+        # the segment pipeline is the production per-image path (exactly the
+        # reference's decide->if->head loop, one launch per stage).
+        if tf_early < t_early:
+            result["segment_p50_early_exit_ms"] = result[
+                "p50_early_exit_latency_ms"
+            ]
+            result["segment_p50_full_depth_ms"] = result[
+                "p50_full_depth_latency_ms"
+            ]
+            result["p50_early_exit_latency_ms"] = round(tf_early * 1000, 2)
+            result["p50_full_depth_latency_ms"] = round(tf_full * 1000, 2)
+            result["value"] = round(1.0 / tf_early, 4)
+            result["vs_baseline"] = round(tf_full / tf_early, 4)
+            result["method"] = "fused lax.cond single-program"
+            if smoke or _remaining() > 40:
+                tfp = _t(trace_and_sum(fused_early, x, runs=runs))
+                result["pipelined_early_exit_ms"] = round(tfp * 1000, 2)
+                result["pipelined_images_per_sec_per_chip"] = round(1.0 / tfp, 2)
+        _mark('fused traced')
         print(json.dumps(result), flush=True)
+    elif "fused_error" in box:
+        result["fused_upgrade"] = {"error": box["fused_error"]}
+    else:
+        result["fused_upgrade"] = {
+            "skipped": "background compile did not finish within budget; "
+            "segment-program numbers stand"
+        }
 
     skipped = [
         k for k in (
-            "all_exits_forward_ms", "entropy_threshold_sweep",
+            "pipelined_early_exit_ms", "entropy_threshold_sweep",
             "train_769x769_bf16", "edm_gated", "bucketed_dynamic_b4",
         ) if k not in result
     ]
-    if not smoke and "p50_early_exit_latency_ms" not in result:
-        skipped.append("p50_early_exit_latency_ms")
     if skipped:
         result["skipped_phases"] = skipped
+    holder["result"] = result
     cancel_deadline()
     print(json.dumps(result), flush=True)
+    # a daemon compile thread may still be inside XLA: exit hard, not via
+    # interpreter teardown (which can segfault mid-compile)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
