@@ -39,7 +39,13 @@ FM = (1, 2, 4, 8)  # level -> channel multiplier (ADD.py:149)
 
 
 def _aspp_mult(final_level: int) -> float:
-    return {1: 2.0, 2: 1.0, 3: 0.5}[final_level]
+    """Atrous-rate multiplier by the path's final level (ADD.py:242-247).
+
+    The reference handles only levels 1-3 — a decoded path ending at level 0
+    (stride 4, which Viterbi can legitimately produce) hits an unassigned
+    `mult` NameError there. Extended coherently: rates double per level up
+    (dilation ∝ 1/stride), so level 0 → 4.0. Defect not replicated."""
+    return {0: 4.0, 1: 2.0, 2: 1.0, 3: 0.5}[final_level]
 
 
 class _Stems(nn.Module):

@@ -370,3 +370,23 @@ def test_search_trainer_resume(tmp_path):
     # a cold build without resume starts from epoch 0 with fresh arch
     cold = build()
     assert cold.start_epoch == 0
+
+
+def test_exit_station_out_of_range_raises():
+    """Exit stations beyond the trellis must fail at construction with a
+    clear message, not as an IndexError mid-validation (r4 regression: the
+    default station 5 with --num-layers 4 built an unreachable exit)."""
+    import pytest
+
+    from auto_dynamic_deeplab_tpu.models import ModelNetSearch
+    from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE
+
+    model = ModelNetSearch(
+        19, AUTODEEPLAB_GENOTYPE, num_layers=4, F=2, B=2, C_index=(5,)
+    )
+    with pytest.raises(ValueError, match="exit station"):
+        model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 65, 65, 3), jnp.float32),
+            train=False,
+        )
