@@ -69,6 +69,18 @@ class TrellisSupernet(nn.Module):
     # output from two layers back (level_*[-2]) instead of a dense concat.
     dense: bool = True
     remat: bool = True
+    # Optional jax.checkpoint policy for the remat'd cells:
+    #   None           — save nothing, recompute everything (default);
+    #   'dots'         — save (don't recompute) matmul/conv results
+    #                    (checkpoint_dots_with_no_batch_dims);
+    #   'offload_dots' — save matmul/conv results but OFFLOAD them to
+    #                    pinned host memory instead of HBM
+    #                    (offload_dot_with_no_batch_dims device→pinned_host).
+    # 'offload_dots' trades HBM for PCIe/DMA traffic — the single-chip
+    # fallback for configs whose bilevel step OOMs even under full remat
+    # (SCALE_r03: 12L F=20 B=5 321² mixed supernet; the multi-chip answer
+    # is make_search_steps(mesh=...), scripts/scale_supernet_mesh.py).
+    remat_policy: Optional[str] = None
     # How mixed cells execute (supernet_cell.TrellisCell.mixed_exec): same
     # numerics, progressively smaller traced graphs — 'edges' (reference-
     # shaped), 'banked' (edges vmapped per block), 'scan' (whole DAG as one
@@ -110,9 +122,26 @@ class TrellisSupernet(nn.Module):
 
         # static_argnums counts the post-self call args: (s0, down, same, up,
         # alphas, train) → train at index 5 must stay a Python bool.
-        cell_cls = (
-            nn.remat(TrellisCell, static_argnums=(6,)) if self.remat else TrellisCell
-        )
+        if self.remat:
+            policies = {
+                None: None,
+                "dots": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                "offload_dots": jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                    "device", "pinned_host"
+                ),
+            }
+            if self.remat_policy not in policies:
+                raise ValueError(
+                    f"remat_policy={self.remat_policy!r}: expected one of "
+                    f"{sorted(k for k in policies if k)} or None"
+                )
+            cell_cls = nn.remat(
+                TrellisCell,
+                static_argnums=(6,),
+                policy=policies[self.remat_policy],
+            )
+        else:
+            cell_cls = TrellisCell
 
         def cell(C_out, down, same, up, pre_rate=1.0, name=None):
             return cell_cls(

@@ -70,7 +70,7 @@ def _mem(jitted=None, *args, **kwargs):
 
 
 def search_supernet_step(res=321, bs=2, network="supernet", remat=True,
-                         mixed_exec="edges"):
+                         mixed_exec="edges", remat_policy=None):
     from auto_dynamic_deeplab_tpu.models import ModelNetSearch, ModelSearch
     from auto_dynamic_deeplab_tpu.train import lr_schedule, make_search_steps
     from auto_dynamic_deeplab_tpu.train.step import make_arch_optimizer, make_optimizer
@@ -88,7 +88,7 @@ def search_supernet_step(res=321, bs=2, network="supernet", remat=True,
     else:
         model = ModelSearch(
             19, num_layers=12, F=20, B=5, remat=remat, dtype=jnp.bfloat16,
-            mixed_exec=mixed_exec,
+            mixed_exec=mixed_exec, remat_policy=remat_policy,
         )
     rng = np.random.RandomState(0)
     batch = {
@@ -189,6 +189,14 @@ def main():
                     help="remat the mixed-supernet cells: the scan+no-remat "
                          "form OOMed HBM at compile (r2) — remat trades the "
                          "stacked scan temps for recompute")
+    ap.add_argument("--supernet-remat-policy", default=None,
+                    choices=["dots", "offload_dots"],
+                    help="jax.checkpoint policy for the remat'd cells; "
+                         "'offload_dots' saves conv/matmul results to "
+                         "pinned HOST memory — the single-chip fallback "
+                         "for the 12L F=20 config that OOMs 16 GB HBM "
+                         "under plain remat (SCALE_r03). Implies "
+                         "--supernet-remat.")
     ap.add_argument("--train-bs", type=int, default=16)
     ap.add_argument("--only", nargs="+", default=None,
                     help="run only these phases (train_769, search_net_321, "
@@ -240,7 +248,10 @@ def main():
     phases = [
         ("search_net_321", dict(bs=args.train_bs, network="net_supernet")),
         ("search_supernet_321", dict(bs=args.search_bs,
-                                     remat=args.supernet_remat,
+                                     remat=(args.supernet_remat
+                                            or args.supernet_remat_policy
+                                            is not None),
+                                     remat_policy=args.supernet_remat_policy,
                                      mixed_exec="scan")),
     ]
     for name, kw in phases:

@@ -390,3 +390,44 @@ def test_exit_station_out_of_range_raises():
             jnp.zeros((1, 65, 65, 3), jnp.float32),
             train=False,
         )
+
+
+@pytest.mark.parametrize("policy", ["dots", "offload_dots"])
+def test_remat_policy_same_numerics(policy):
+    """remat_policy only changes WHAT the remat'd cells save (recompute vs
+    keep vs offload conv/matmul results) — forward outputs and weight
+    gradients must be bit-comparable to plain remat. 'offload_dots' is the
+    single-chip fallback for configs whose bilevel step OOMs HBM under full
+    remat (SCALE_r03: 12L F=20 B=5 321x321 mixed supernet)."""
+    kw = dict(num_layers=4, F=2, B=2, exit_layer=2)
+    m0 = ModelSearch(5, remat=True, **kw)
+    mp = ModelSearch(5, remat=True, remat_policy=policy, **kw)
+    x = X[:1]
+    v = m0.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(model, params):
+        outs, _ = model.apply(
+            {**v, "params": params}, x, train=True, mutable=["batch_stats"]
+        )
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+    try:
+        l_p, g_p = jax.value_and_grad(lambda p: loss(mp, p))(v["params"])
+        l_p = float(l_p)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        if policy == "offload_dots":
+            pytest.skip(f"host offload unsupported on this backend: {e}")
+        raise
+    l_0, g_0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    assert np.isfinite(l_p)
+    np.testing.assert_allclose(l_p, float(l_0), rtol=1e-5)
+    flat0, flatp = jax.tree.leaves(g_0), jax.tree.leaves(g_p)
+    for a, b in zip(flat0, flatp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_remat_policy_unknown_raises():
+    m = ModelSearch(5, num_layers=6, F=2, B=2, exit_layer=3,
+                    remat=True, remat_policy="everything")
+    with pytest.raises(ValueError, match="remat_policy"):
+        m.init(jax.random.PRNGKey(0), X[:1], train=True)
