@@ -71,11 +71,14 @@ class TrellisSupernet(nn.Module):
     remat: bool = True
     # Optional jax.checkpoint policy for the remat'd cells:
     #   None           — save nothing, recompute everything (default);
-    #   'dots'         — save (don't recompute) matmul/conv results
-    #                    (checkpoint_dots_with_no_batch_dims);
+    #   'dots'         — save (don't recompute) matmul AND conv results
+    #                    (jax dots_saveable, which matches dot_general and
+    #                    conv_general_dilated — the cells are almost entirely
+    #                    convs, so a dot-only policy would save ~nothing);
     #   'offload_dots' — save matmul/conv results but OFFLOAD them to
-    #                    pinned host memory instead of HBM
-    #                    (offload_dot_with_no_batch_dims device→pinned_host).
+    #                    pinned host memory instead of HBM (custom policy
+    #                    mirroring offload_dot_with_no_batch_dims, widened
+    #                    to conv_general_dilated for the same reason).
     # 'offload_dots' trades HBM for PCIe/DMA traffic — the single-chip
     # fallback for configs whose bilevel step OOMs even under full remat
     # (SCALE_r03: 12L F=20 B=5 321² mixed supernet; the multi-chip answer
@@ -122,19 +125,34 @@ class TrellisSupernet(nn.Module):
 
         # static_argnums counts the post-self call args: (s0, down, same, up,
         # alphas, train) → train at index 5 must stay a Python bool.
-        if self.remat:
-            policies = {
-                None: None,
-                "dots": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
-                "offload_dots": jax.checkpoint_policies.offload_dot_with_no_batch_dims(
-                    "device", "pinned_host"
-                ),
-            }
-            if self.remat_policy not in policies:
-                raise ValueError(
-                    f"remat_policy={self.remat_policy!r}: expected one of "
-                    f"{sorted(k for k in policies if k)} or None"
+        # The cells' FLOPs live in conv_general_dilated (ops/packed.py lowers
+        # the mixed DAG to 1×1/depthwise convs, not dot_general), so both
+        # policies must match convs — jax's *_with_no_batch_dims variants
+        # match ONLY dot_general and would save nothing here.
+        def _offload_convs_and_dots(prim, *_, **__):
+            if prim.name in ("dot_general", "conv_general_dilated"):
+                return jax.ad_checkpoint.Offloadable(
+                    src="device", dst="pinned_host"
                 )
+            return jax.ad_checkpoint.Recompute
+
+        policies = {
+            None: None,
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "offload_dots": _offload_convs_and_dots,
+        }
+        if self.remat_policy not in policies:
+            raise ValueError(
+                f"remat_policy={self.remat_policy!r}: expected one of "
+                f"{sorted(k for k in policies if k)} or None"
+            )
+        if self.remat_policy is not None and not self.remat:
+            raise ValueError(
+                f"remat_policy={self.remat_policy!r} requires remat=True — "
+                "without remat the policy is never applied and the expected "
+                "memory savings silently do not happen"
+            )
+        if self.remat:
             cell_cls = nn.remat(
                 TrellisCell,
                 static_argnums=(6,),

@@ -431,3 +431,41 @@ def test_remat_policy_unknown_raises():
                     remat=True, remat_policy="everything")
     with pytest.raises(ValueError, match="remat_policy"):
         m.init(jax.random.PRNGKey(0), X[:1], train=True)
+
+
+def test_remat_policy_validated_without_remat():
+    """remat_policy is validated even when remat=False: a policy that is
+    silently ignored (ADVICE r4) would hand a caller expecting offload-based
+    memory savings plain no-remat behavior with no warning."""
+    for policy in ("everything", "dots"):
+        m = ModelSearch(5, num_layers=6, F=2, B=2, exit_layer=3,
+                        remat=False, remat_policy=policy)
+        with pytest.raises(ValueError, match="remat"):
+            m.init(jax.random.PRNGKey(0), X[:1], train=True)
+
+
+def test_remat_policy_actually_saves_convs():
+    """The 'dots' policy must SAVE conv results, not just matmuls: the cells
+    lower to conv_general_dilated (ops/packed.py), so a dot_general-only
+    policy (jax's *_with_no_batch_dims family) saves ~nothing — numerics
+    tests cannot catch that (ADVICE r4 medium). Detect it structurally: with
+    convs saved, the backward pass recomputes fewer convs, so the grad HLO
+    contains strictly fewer convolution ops than under save-nothing remat."""
+    kw = dict(num_layers=4, F=2, B=2, exit_layer=2)
+
+    def conv_count(policy):
+        m = ModelSearch(5, remat=True, remat_policy=policy, **kw)
+        v = m.init(jax.random.PRNGKey(0), X[:1], train=True)
+
+        def loss(params):
+            outs, _ = m.apply(
+                {**v, "params": params}, X[:1], train=True,
+                mutable=["batch_stats"],
+            )
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+        hlo = jax.jit(jax.grad(loss)).lower(v["params"]).as_text()
+        return hlo.count("convolution(")
+
+    n_none, n_dots = conv_count(None), conv_count("dots")
+    assert n_dots < n_none, (n_dots, n_none)
