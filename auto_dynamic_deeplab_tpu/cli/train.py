@@ -39,6 +39,10 @@ def build_parser():
                         "checkname; preemption recovery) or a checkpoint dir")
     p.add_argument("--ft", action="store_true",
                    help="fine-tune: load weights only, restart the schedule")
+    p.add_argument("--device-augment", action="store_true",
+                   help="on-device input pipeline: loader ships decode-only "
+                        "uint8; flip/scale/crop/normalize run as one jitted "
+                        "XLA program on the TPU (data/device_transforms.py)")
     return p
 
 
@@ -56,6 +60,7 @@ def main(argv=None):
         crop_size=tuple(args.crop_size),
         synthetic_length=args.synthetic_length,
         synthetic_crop=tuple(args.synthetic_crop),
+        raw_train=args.device_augment,
     )
 
     import jax.numpy as jnp
@@ -88,6 +93,8 @@ def main(argv=None):
         data_parallel=not args.no_data_parallel,
         resume=args.resume,
         ft=args.ft,
+        device_augment=args.device_augment,
+        crop_size=tuple(args.crop_size) if args.device_augment else None,
     )
     trainer = Trainer(model, train_loader, val_loader, cfg, class_weight=weight,
                       seed=args.seed)

@@ -10,6 +10,12 @@ import os
 from typing import Optional
 
 from .cityscapes import CityscapesSegmentation, two_train_seg
+from .device_transforms import (
+    augment_batch,
+    make_eval_preprocess,
+    make_train_augment,
+    sample_augment_params,
+)
 from .loader import DataLoader
 from .pascal import VOCSegmentation
 from .synthetic import SyntheticSegmentation
@@ -42,8 +48,13 @@ def make_data_loader(
     crop_size=(769, 769),
     synthetic_length: int = 64,
     synthetic_crop=(65, 65),
+    raw_train: bool = False,
 ):
-    """Returns (train[, trainB], val, num_classes)."""
+    """Returns (train[, trainB], val, num_classes).
+
+    raw_train=True (cityscapes, plain train mode): the TRAIN loader yields
+    decode-only uint8 batches for on-device augmentation
+    (data/device_transforms.py); val stays host-preprocessed full-image."""
     test_batch_size = test_batch_size or batch_size
 
     if dataset == "synthetic":
@@ -84,7 +95,9 @@ def make_data_loader(
                 set_a.NUM_CLASSES,
             )
         else:
-            train_set = CityscapesSegmentation(root, "train", crop_size=crop_size)
+            train_set = CityscapesSegmentation(
+                root, "train", crop_size=crop_size, raw=raw_train
+            )
     else:
         raise NotImplementedError(dataset)
 
@@ -105,10 +118,14 @@ __all__ = [
     "SyntheticSegmentation",
     "VOCSegmentation",
     "calculate_class_weights",
+    "augment_batch",
     "decode_segmap",
     "eval_preprocess",
     "full_image_eval_preprocess",
     "make_data_loader",
+    "make_eval_preprocess",
+    "make_train_augment",
+    "sample_augment_params",
     "train_preprocess",
     "two_train_seg",
 ]

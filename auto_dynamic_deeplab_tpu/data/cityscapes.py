@@ -56,11 +56,16 @@ class CityscapesSegmentation:
         full: bool = False,
         indices_for_split: Optional[Sequence[int]] = None,
         eval_crop: Tuple[int, int] = (1025, 2049),
+        raw: bool = False,
     ):
         self.root = root
         self.split = split
         self.search = search
         self.full = full
+        # raw=True: decode-only items ({"image_u8", "label_u8"} uint8) for
+        # ON-DEVICE preprocessing (data/device_transforms.py) — the host does
+        # PNG decode + train-id LUT, the TPU does flip/scale/crop/normalize.
+        self.raw = raw
         self.crop_size = (321, 321) if search else crop_size
         self.eval_crop = eval_crop
         self.images_base = os.path.join(root, "leftImg8bit", split)
@@ -87,6 +92,12 @@ class CityscapesSegmentation:
         img_path = self.files[index]
         img = Image.open(img_path).convert("RGB")
         raw = np.asarray(Image.open(self.label_path(img_path)), np.uint8)
+
+        if self.raw:
+            return {
+                "image_u8": np.asarray(img, np.uint8),
+                "label_u8": encode_segmap(raw),
+            }
 
         # fused C++ fast path (csrc/augment.cpp) unless disabled
         use_native = os.environ.get("ADD_TPU_NATIVE", "1") == "1"

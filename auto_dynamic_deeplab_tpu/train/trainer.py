@@ -48,6 +48,12 @@ class TrainConfig:
     # load weights only, restart schedule from epoch 0 (reference --ft,
     # train.py:212-214)
     ft: bool = False
+    # ON-DEVICE augmentation (data/device_transforms.py): the loader yields
+    # decode-only uint8 batches ({"image_u8", "label_u8"}); one jitted XLA
+    # program does flip/scale/crop/normalize on the TPU. Requires crop_size
+    # (the augmented shape — the raw batch shape is the source canvas).
+    device_augment: bool = False
+    crop_size: Optional[tuple] = None
 
 
 class Trainer:
@@ -82,11 +88,23 @@ class Trainer:
             weight_decay=config.weight_decay,
         )
 
+        self._augment = None  # built lazily from the first raw batch
+        self._seed = seed
+        if config.device_augment and config.crop_size is None:
+            raise ValueError(
+                "device_augment=True requires crop_size (the augmented "
+                "shape; raw uint8 batches carry the source canvas shape)"
+            )
         if sample_input is None:
-            from ..data.loader import peek_batch
+            if config.device_augment:
+                sample_input = np.zeros(
+                    (1, *config.crop_size, 3), np.float32
+                )
+            else:
+                from ..data.loader import peek_batch
 
-            first = peek_batch(train_loader)
-            sample_input = first["image"][:1]
+                first = peek_batch(train_loader)
+                sample_input = first["image"][:1]
         self.state = create_train_state(
             model, jax.random.PRNGKey(seed), jnp.asarray(sample_input), self.tx
         )
@@ -144,19 +162,41 @@ class Trainer:
             self.start_epoch = int(meta.get("epoch", -1)) + 1
             self.best_pred = float(meta.get("best_pred", 0.0))
 
+    def _device_augment(self, batch, epoch: int, b: int):
+        """Raw uint8 batch → augmented device batch via ONE jitted program.
+        Per-sample rngs are seeded like the host loader's fetch streams, so
+        augmentation draws are deterministic per (seed, epoch, batch)."""
+        from ..data.device_transforms import augment_batch, make_train_augment
+
+        src_hw = batch["image_u8"].shape[1:3]
+        if self._augment is None:
+            self._augment = make_train_augment(src_hw, self.config.crop_size)
+        base = self._seed * 7919 + epoch * 613
+        rngs = [
+            np.random.RandomState(base + b * 127 + k)
+            for k in range(batch["image_u8"].shape[0])
+        ]
+        image, label = augment_batch(
+            self._augment, batch["image_u8"], batch["label_u8"],
+            src_hw, self.config.crop_size, rngs=rngs,
+        )
+        return {"image": image, "label": label}
+
     def training(self, epoch: int) -> float:
         self.train_loader.set_epoch(epoch)
         losses = []
-        for batch in self.train_loader:
-            if batch["image"].shape[0] % self.n_shards:
+        for b, batch in enumerate(self.train_loader):
+            key = "image_u8" if "image_u8" in batch else "image"
+            if batch[key].shape[0] % self.n_shards:
                 continue  # drop ragged tail under sharding
-            self.state, metrics = self.train_step(
-                self.state,
-                {
+            if self.config.device_augment and "image_u8" in batch:
+                fed = self._device_augment(batch, epoch, b)
+            else:
+                fed = {
                     "image": jnp.asarray(batch["image"]),
                     "label": jnp.asarray(batch["label"]),
-                },
-            )
+                }
+            self.state, metrics = self.train_step(self.state, fed)
             losses.append(metrics["loss"])
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         self.summary.add_scalar("train/total_loss_epoch", train_loss, epoch)

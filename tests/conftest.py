@@ -57,6 +57,7 @@ _FAST_MODULES = {
     "test_metrics_loss_schedules",
     "test_utils",
     "test_data",
+    "test_device_transforms",
     "test_native",
     "test_resize",
 }
