@@ -18,12 +18,14 @@ Every later phase is budget-gated, and the deadline watchdog prints the
 best-so-far JSON (never exits empty once the headline landed).
 
 The extra fields bench the PRODUCT surface (reference: eval.py:195-230):
-  * EDM-gated dynamic inference with real EDM weights from a synthetic
-    stage-3 (make_edm_dataset + train_edm) — segment programs, labeled
-    synthetic (signal quality not evaluated);
+  * EDM-gated dynamic inference with TRAINED weights (the committed
+    product-proof artifact: trained backbone + trained EDM + its task's
+    gated mIoU), falling back to a labeled synthetic code-path exercise
+    only when the artifact is absent;
   * an entropy-threshold sweep reporting exit-rate vs expected latency;
   * trace-based training throughput at 769x769 bf16 (the stage-2 config);
-  * bucketed batched dynamic inference (serving path).
+  * bucketed batched dynamic inference: recorded round-4 adjudication
+    (loses at full eval res; ADD_BENCH_BUCKETED=1 re-measures).
 
 Timing is DEVICE time from jax.profiler traces, validated against matmul
 physics (a 4096^3 bf16 matmul measures 0.76 ms = 182 TF/s on v5e, 92% of
@@ -138,6 +140,97 @@ def _train_synthetic_edm(model, variables, rng, size):
     drift = float(np.abs(on_raw - on_scaled).max())
     assert drift < 1e-3, f"scale fold drifted: {drift}"
     return edm, edm_vars, loss
+
+
+def _edm_trained_phase(art_dir: str, _t, smoke: bool) -> dict:
+    """EDM-gated numbers from TRAINED weights: the committed product-proof
+    artifact (trained F=8 backbone + trained EDM + its beacon-propagation
+    val task). Latencies are device traces of the trained model's segment
+    programs at the proof resolution; gated mIoU is recomputed here on
+    regenerated val items (seeded), cross-checked against the proof's
+    recorded numbers (SCALE_r05 product proof)."""
+    import flax.serialization as fser
+
+    from auto_dynamic_deeplab_tpu.models import ADD
+    from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE, NETWORK_ARCH
+    from auto_dynamic_deeplab_tpu.train.dynamic import DynamicInferenceEngine
+    from auto_dynamic_deeplab_tpu.train.edm_trainer import EDM
+    from auto_dynamic_deeplab_tpu.utils.metrics import Evaluator
+    from product_proof import gen_item
+    from trace_measure import trace_and_sum
+
+    with open(os.path.join(art_dir, "meta.json")) as f:
+        meta = json.load(f)
+    mcfg = meta["model"]
+    cfg = NETWORK_ARCH[mcfg["network_arch"]]
+    tmodel = ADD(
+        cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE,
+        mcfg["num_classes"], F=mcfg["F"], B=mcfg["B"],
+        low_level_layer=cfg["low_level_layer"],
+    )
+    # conv params are input-size independent: smoke evals the trained
+    # weights at a tiny size instead of the checkpoint's native one
+    hw = (65, 65) if smoke else tuple(meta["hw"])
+    dummy = jax.eval_shape(
+        lambda: tmodel.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 65, 65, 3)), train=False
+        )
+    )
+    with open(os.path.join(art_dir, "backbone.msgpack"), "rb") as f:
+        variables = fser.from_bytes(dummy, f.read())
+    edm = EDM()
+    # from_bytes only needs the TREE structure; leaf arrays come from the
+    # file, so the dummy's channel count is irrelevant
+    edm_dummy = jax.eval_shape(
+        lambda: edm.init(jax.random.PRNGKey(0), jnp.zeros((1, 9, 9, 1)))
+    )
+    with open(os.path.join(art_dir, "edm.msgpack"), "rb") as f:
+        edm_vars = fser.from_bytes(edm_dummy, f.read())
+
+    engine = DynamicInferenceEngine(
+        tmodel, variables, edm=edm, edm_variables=edm_vars,
+        num_classes=mcfg["num_classes"], use_pallas_stems=False,
+    )
+    d0e = engine._decide(0, hw, "edm", 0.0)
+    head0 = engine._head(tmodel.exit_layers[0], hw)
+    fin = engine._final(hw)
+
+    n_val = 2 if smoke else 8
+    items = [gen_item(s, hw) for s in meta["val_seeds"][:n_val]]
+    confs, pred0s, predFs = [], [], []
+    for it in items:
+        xv = jnp.asarray(it["image"][None])
+        st, conf = d0e(xv)
+        pred0s.append(np.argmax(np.asarray(head0(st)), axis=1)[0])
+        predFs.append(np.argmax(np.asarray(fin(st)), axis=1)[0])
+        confs.append(float(np.asarray(conf)[0]))
+    thr = float(np.median(confs))
+    ev = Evaluator(mcfg["num_classes"])
+    n_early = 0
+    for k, it in enumerate(items):
+        early = confs[k] <= thr
+        n_early += int(early)
+        ev.add_batch(it["label"][None], (pred0s if early else predFs)[k][None])
+    gated_miou = float(ev.Mean_Intersection_over_Union())
+
+    xv = jnp.asarray(items[0]["image"][None])
+    t_e = _t(trace_and_sum(lambda x: head0(d0e(x)[0]), xv, runs=4))
+    t_f = _t(trace_and_sum(lambda x: fin(d0e(x)[0]), xv, runs=4))
+    return {
+        "note": (
+            "trained backbone+EDM (product-proof artifact, "
+            "artifacts/product_proof): beacon-propagation task at "
+            f"{hw[0]}x{hw[1]}, F={mcfg['F']} — proof numbers in SCALE_r05 "
+            "product_chain_proof"
+        ),
+        "early_exit_latency_ms": round(t_e * 1000, 2),
+        "full_depth_latency_ms": round(t_f * 1000, 2),
+        "median_threshold": round(thr, 4),
+        "exit_rate_at_median": n_early / len(items),
+        "gated_miou_here": round(gated_miou, 4),
+        "proof_static_miou_per_exit": meta["static_miou_per_exit"],
+        "proof_gated_miou": meta["gated_miou"],
+    }
 
 
 def _backend_watchdog(seconds: float = 240.0):
@@ -396,8 +489,16 @@ def main(smoke: bool = False):
         ),
         "value": None,
         "unit": "images/sec/chip",
+        # The driver schema requires a "vs_baseline" number; the reference
+        # publishes NO numbers to compare against (BASELINE.md), so it
+        # mirrors full_depth_over_early_exit_ratio — the properly-named
+        # field below — i.e. the device-time speedup early exit buys.
         "vs_baseline": 1.0,
-        "vs_baseline_meaning": "full-depth/early-exit device-time ratio (NOT a reference comparison; the reference publishes no numbers — BASELINE.md)",
+        "full_depth_over_early_exit_ratio": 1.0,
+        "vs_baseline_meaning": (
+            "mirrors full_depth_over_early_exit_ratio (NOT a reference "
+            "comparison; the reference publishes no numbers — BASELINE.md)"
+        ),
         "device": str(jax.devices()[0]),
         "method": "segment programs (decide_0/final)",
     }
@@ -461,6 +562,7 @@ def main(smoke: bool = False):
     _mark('full segment traced (p50 %.2f ms)' % (t_full * 1e3))
     result["p50_full_depth_latency_ms"] = round(t_full * 1000, 2)
     result["vs_baseline"] = round(t_full / t_early, 4)
+    result["full_depth_over_early_exit_ratio"] = result["vs_baseline"]
     result["note"] = result["note"].replace(" PARTIAL: full-depth pending", "")
     print(json.dumps(result), flush=True)
     compile_async("fused", _compile_fused)  # see NOTE above
@@ -585,12 +687,24 @@ def main(smoke: bool = False):
         _mark('train traced')
         print(json.dumps(result), flush=True)
 
-    # ---- EDM-gated dynamic inference (real synthetic-trained EDM) ---------
-    # Segment programs again (decide_0 with the EDM confidence head): the
-    # EDM fused-cond program would be a second giant cold compile.
+    # ---- EDM-gated dynamic inference ---------------------------------------
+    # TRAINED weights when the committed product-proof artifact is present
+    # (scripts/product_proof.py → artifacts/product_proof/): trained
+    # backbone + trained EDM + the proof's own val task, gated mIoU measured
+    # here, latencies from device traces. Falls back to the synthetic-weights
+    # code-path exercise only if the artifact is missing.
     holder["phase"] = "edm"
-    if smoke or _remaining() > 120:
-        _mark('edm phase')
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts", "product_proof")
+    if (smoke or _remaining() > 120) and os.path.isfile(
+        os.path.join(art_dir, "meta.json")
+    ):
+        _mark('edm phase (trained product-proof artifact)')
+        result["edm_gated"] = _edm_trained_phase(art_dir, _t, smoke)
+        _mark('edm traced')
+        print(json.dumps(result), flush=True)
+    elif smoke or _remaining() > 120:
+        _mark('edm phase (no artifact: synthetic fallback)')
         edm, edm_vars, edm_loss = _train_synthetic_edm(
             model, variables, rng, edm_hw
         )
@@ -633,11 +747,25 @@ def main(smoke: bool = False):
     # ---- bucketed batched dynamic inference (serving throughput) ----------
     # BASELINE.json: early exits must save FLOPs "under XLA (masked batching
     # / cond-gated programs)". The cond-gated program is the batch-1 number
-    # above; this is the batched path: per-exit confidences for the whole
-    # batch, then only the continuing images re-launch, compacted to padded
-    # buckets (train/dynamic.py infer_batch).
+    # above; the batched path (train/dynamic.py infer_batch) was A/B-
+    # adjudicated in round 4 and LOSES at full eval res — one image already
+    # saturates the chip, so batching amortizes nothing and pays compaction
+    # gathers on top. The ~280 s re-measurement is replaced by the recorded
+    # adjudication (VERDICT r4 ask: budget-gate or drop the phases the
+    # watchdog cut); set ADD_BENCH_BUCKETED=1 to re-measure.
     holder["phase"] = "bucketed batch"
-    if smoke or _remaining() > 120:
+    if os.environ.get("ADD_BENCH_BUCKETED") != "1" and not smoke:
+        result["bucketed_dynamic_b4"] = {
+            "adjudicated": (
+                "loses to the serial batch-1 segment loop at full eval res "
+                "(65.3 ms/b4 = 16.3 ms/img vs ~11.1-12.3 serial at the same "
+                "2/4 exit mix; measured in BENCH_r04, verdict in "
+                "train/dynamic.py infer_batch docstring). Batched serving "
+                "pays only in dispatch-bound small-image regimes."
+            ),
+            "measured_in": "BENCH_r04.json",
+        }
+    elif smoke or _remaining() > 120:
         _mark('bucketed batch phase')
         xb = jnp.concatenate(xs, axis=0)  # (4, H, W, 3)
         conf_pend = [early_seg(xi)[1] for xi in xs]
@@ -673,7 +801,9 @@ def main(smoke: bool = False):
 
     # ---- fused-cond upgrade (if the background compile made it) -----------
     holder["phase"] = "fused upgrade"
-    wait_s = 600.0 if smoke else max(0.0, _remaining() - 90.0)
+    # capped: the fused compile is a known device-time LOSER (r4: 9.42 vs
+    # 6.86 ms p50) kept only as a cross-check — never worth >3 min of wait
+    wait_s = 600.0 if smoke else min(180.0, max(0.0, _remaining() - 90.0))
     events["fused"].wait(timeout=wait_s)
     if "fused" in box and (smoke or _remaining() > 60):
         _mark('fused compiled in background (%.0fs); re-measuring'

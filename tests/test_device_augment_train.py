@@ -78,6 +78,30 @@ def test_trainer_device_augment_end_to_end(cityscapes_tree):
     assert np.isfinite(loss)
 
 
+def test_rawcache_roundtrip(cityscapes_tree, tmp_path):
+    """Decode-once memmap cache serves byte-identical items to the raw
+    dataset, rebuild is skipped when complete, and it drops into DataLoader."""
+    from auto_dynamic_deeplab_tpu.data.rawcache import RawArrayCache
+
+    ds = CityscapesSegmentation(str(cityscapes_tree), "train", raw=True)
+    cache_dir = str(tmp_path / "cache")
+    cache = RawArrayCache.build(ds, cache_dir)
+    assert len(cache) == len(ds)
+    for i in (0, len(ds) - 1):
+        a, b = ds[i], cache[i]
+        np.testing.assert_array_equal(a["image_u8"], b["image_u8"])
+        np.testing.assert_array_equal(a["label_u8"], b["label_u8"])
+    # second build: served from the existing cache (no rewrite)
+    mtime = (tmp_path / "cache" / "images.npy").stat().st_mtime_ns
+    RawArrayCache.build(ds, cache_dir)
+    assert (tmp_path / "cache" / "images.npy").stat().st_mtime_ns == mtime
+
+    loader = DataLoader(cache, 2, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["image_u8"].shape == (2, 96, 128, 3)
+    assert batch["image_u8"].dtype == np.uint8
+
+
 def test_device_augment_missing_crop_raises(cityscapes_tree):
     from auto_dynamic_deeplab_tpu.models import ADD
     from auto_dynamic_deeplab_tpu.nas import AUTODEEPLAB_GENOTYPE
