@@ -67,6 +67,17 @@ _FAST_TESTS = {
     "test_mixed_op_eval_argmax",
 }
 
+# ------------------------------------------------------------- slow set
+# `pytest -m "not slow"`: the mid-tier gate — everything except the
+# compile-heaviest files (golden torch-parity transplants, the staged
+# product chain, multi-process dp). Measured tier wall-times: docs/STATUS.md.
+_SLOW_MODULES = {
+    "test_add_parity_vs_reference",
+    "test_supernet_parity_vs_reference",
+    "test_multiprocess_dp",
+    "test_full_chain",
+}
+
 
 def pytest_collection_modifyitems(items):
     for item in items:
@@ -75,3 +86,5 @@ def pytest_collection_modifyitems(items):
             or item.name.split("[")[0] in _FAST_TESTS
         ):
             item.add_marker(pytest.mark.fast)
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
