@@ -538,7 +538,12 @@ def main(smoke: bool = False):
         {
             "value": round(1.0 / t_early, 4),
             "p50_early_exit_latency_ms": round(t_early * 1000, 2),
-            "chained_wall_bound_ms": round(t_early_bound * 1000, 2),
+            # only when it passed the sanity gate (a session-open stall can
+            # produce a negative/absurd marginal, which is discarded above)
+            **(
+                {"chained_wall_bound_ms": round(t_early_bound * 1000, 2)}
+                if 3e-3 < t_early_bound < 0.08 else {}
+            ),
             "note": (
                 "p50 of independent single-image traces (the reference's "
                 "metric is a synchronized per-image loop); device-time via "
