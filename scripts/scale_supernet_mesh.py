@@ -27,13 +27,34 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--F", type=int, default=20)
     ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--compile-only", action="store_true",
+                    help="lower+compile the weight step and record the "
+                         "per-device HLO memory analysis, skip execution. "
+                         "For mesh widths whose total replica temps exceed "
+                         "THIS single host's RAM (a virtual N-device CPU "
+                         "mesh backs all N devices with one host; a real "
+                         "slice gives each chip its own 16 GB HBM).")
     args = ap.parse_args()
 
     os.environ.pop("JAX_PLATFORMS", None)
+    # XLA CPU collectives carry a hard 40 s rendezvous termination timeout;
+    # on a 1-core host the 8 replica threads reach the first all-reduce
+    # minutes apart (per-replica compute at this config is minutes), which
+    # F-check-aborted two runs. Raise it — correctness, not liveness, is
+    # what this demo attests. Respect any caller-provided XLA_FLAGS.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "collective_call_terminate_timeout" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+        ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", int(args.devices))
+    from auto_dynamic_deeplab_tpu.utils.initialize import machine_scoped_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", machine_scoped_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -48,9 +69,14 @@ def main():
     import optax
 
     t_start = time.monotonic()
+    # bf16 compute / f32 params — the production search precision (and what
+    # scale_proof.py's single-chip attempts use). The f32 form of this demo
+    # was OOM-killed at 130 GB host RSS: 8 replicas' fwd+bwd activations at
+    # 321^2 F=20 exceed the 125 GB host; bf16 halves them.
     model = ModelSearch(
         19, num_layers=args.layers, F=args.F, B=5, exit_layer=5,
         remat=True, axis_name=DATA_AXIS, mixed_exec="scan",
+        dtype=jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
     hw = (args.hw, args.hw)
@@ -101,6 +127,26 @@ def main():
     except Exception as exc:  # backend-dependent
         mem = {"error": str(exc)[:120]}
 
+    if args.compile_only:
+        peak_rss_gb = (
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+        )
+        print(json.dumps({
+            "config": (
+                f"ModelSearch (mixed cell+path, search.py:77-88 default) "
+                f"{args.layers}L F={args.F} B=5, {args.hw}x{args.hw} "
+                f"bs{args.batch} global over {args.devices}-device mesh "
+                f"(bs{args.batch // args.devices}/device), scan cells, "
+                "remat, bf16 compute / f32 params, COMPILE-ONLY"
+            ),
+            "n_weight_params": n_params,
+            "init_wall_s": round(t_init, 1),
+            "weight_step_compile_wall_s": round(t_w_compile, 1),
+            "memory_per_device": mem,
+            "host_peak_rss_gb": round(peak_rss_gb, 2),
+        }), flush=True)
+        return
+
     t0 = time.monotonic()
     params, stats, w_opt, w_loss = compiled(params, stats, arch, w_opt, batch)
     w_loss = float(w_loss)
@@ -118,7 +164,8 @@ def main():
             f"{args.layers}L F={args.F} B=5, {args.hw}x{args.hw} "
             f"bs{args.batch} global over {args.devices}-device mesh "
             f"(bs{args.batch // args.devices}/device), scan cells, remat, "
-            "bilevel shard_map steps (grad pmean + BN psum)"
+            "bf16 compute / f32 params, bilevel shard_map steps "
+            "(grad pmean + BN psum)"
         ),
         "n_weight_params": n_params,
         "init_wall_s": round(t_init, 1),
