@@ -646,53 +646,12 @@ def main(smoke: bool = False):
         result["entropy_threshold_sweep"] = sweep
         print(json.dumps(result), flush=True)
 
-    # ---- training throughput: stage-2 step at 769x769 bf16 ----------------
-    # remat=False: the full fwd+bwd fits HBM up to bs16 at 769x769 (measured
-    # 08-19, profile_train_step.py) and remat costs 19-23% step time here
-    # (bs8: 164.2 -> 133.2 ms). Remat remains available (--remat) for
-    # configs that need it (supernet search, larger crops/batches).
-    holder["phase"] = "train step"
-    if smoke or _remaining() > 150:
-        _mark('train phase')
-        train_model = ADD(
-            cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
-            F=F, B=5, low_level_layer=cfg["low_level_layer"],
-            dtype=jnp.bfloat16, remat=False,
-        )
-        bs = train_bs
-        tx = make_optimizer(
-            lr_schedule("poly", 0.05, 100, 100), weight_decay=4e-5
-        )
-        state = create_train_state(
-            train_model,
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, *train_hw, 3), jnp.float32),
-            tx,
-        )
-        step = make_single_device_train_step(train_model, tx)
-        batch = {
-            "image": jnp.asarray(rng.randn(bs, *train_hw, 3).astype(np.float32)),
-            "label": jnp.asarray(
-                rng.randint(0, 19, size=(bs, *train_hw)).astype(np.int32)
-            ),
-        }
-        # the step donates its state argument: chain states across calls
-        sholder = {"state": state}
-
-        def timed_step(_):
-            sholder["state"], metrics = step(sholder["state"], batch)
-            return metrics
-
-        t_train = _t(trace_and_sum(timed_step, 0, runs=runs_slow))
-        result["train_769x769_bf16"] = {
-            "batch": bs,
-            "step_ms": round(t_train * 1000, 2),
-            "images_per_sec_per_chip": round(bs / t_train, 2),
-        }
-        _mark('train traced')
-        print(json.dumps(result), flush=True)
-
     # ---- EDM-gated dynamic inference ---------------------------------------
+    # NOTE (r5): this phase runs BEFORE the train-step phase. Both fit a
+    # warm cache, but one cold compile or a high profiler-session-tax draw
+    # forces the watchdog to cut one of them — and the trained-gating
+    # record (VERDICT r4 ask #7) must survive over a throughput
+    # re-measurement that r4 already captured.
     # TRAINED weights when the committed product-proof artifact is present
     # (scripts/product_proof.py → artifacts/product_proof/): trained
     # backbone + trained EDM + the proof's own val task, gated mIoU measured
@@ -747,6 +706,52 @@ def main(smoke: bool = False):
             ),
         }
         _mark('edm traced')
+        print(json.dumps(result), flush=True)
+
+    # ---- training throughput: stage-2 step at 769x769 bf16 ----------------
+    # remat=False: the full fwd+bwd fits HBM up to bs16 at 769x769 (measured
+    # 08-19, profile_train_step.py) and remat costs 19-23% step time here
+    # (bs8: 164.2 -> 133.2 ms). Remat remains available (--remat) for
+    # configs that need it (supernet search, larger crops/batches).
+    holder["phase"] = "train step"
+    if smoke or _remaining() > 150:
+        _mark('train phase')
+        train_model = ADD(
+            cfg["path"], cfg["C_index"], AUTODEEPLAB_GENOTYPE, 19,
+            F=F, B=5, low_level_layer=cfg["low_level_layer"],
+            dtype=jnp.bfloat16, remat=False,
+        )
+        bs = train_bs
+        tx = make_optimizer(
+            lr_schedule("poly", 0.05, 100, 100), weight_decay=4e-5
+        )
+        state = create_train_state(
+            train_model,
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *train_hw, 3), jnp.float32),
+            tx,
+        )
+        step = make_single_device_train_step(train_model, tx)
+        batch = {
+            "image": jnp.asarray(rng.randn(bs, *train_hw, 3).astype(np.float32)),
+            "label": jnp.asarray(
+                rng.randint(0, 19, size=(bs, *train_hw)).astype(np.int32)
+            ),
+        }
+        # the step donates its state argument: chain states across calls
+        sholder = {"state": state}
+
+        def timed_step(_):
+            sholder["state"], metrics = step(sholder["state"], batch)
+            return metrics
+
+        t_train = _t(trace_and_sum(timed_step, 0, runs=runs_slow))
+        result["train_769x769_bf16"] = {
+            "batch": bs,
+            "step_ms": round(t_train * 1000, 2),
+            "images_per_sec_per_chip": round(bs / t_train, 2),
+        }
+        _mark('train traced')
         print(json.dumps(result), flush=True)
 
     # ---- bucketed batched dynamic inference (serving throughput) ----------
